@@ -1,0 +1,119 @@
+"""CLI for the engine — the spark-submit surface.
+
+    spark-submit --py-files etl_spark.zip -m ... OR python -m etl_spark <cmd>
+
+Commands:
+  gen     --out DIR --events N [--convs N] [--epochs N] [--evolve-from K]
+          write a deterministic CDC change log (one dir per epoch)
+  replay  --log DIR --table DIR [--buckets N] [--stop-after K]
+          batch-replay the change log into the LakeTable (resumable)
+  stream  --log DIR --table DIR --checkpoint DIR [--buckets N]
+          tail the change log via Structured Streaming (processes all
+          available, then exits)
+  show    --table DIR [--limit N]
+          print table state summary + lineage tail
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, required=True)
+    g.add_argument("--convs", type=int, default=1000)
+    g.add_argument("--epochs", type=int, default=8)
+    g.add_argument("--evolve-from", type=int, default=None)
+    g.add_argument("--seed", type=int, default=42)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--log", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--buckets", type=int, default=16)
+    r.add_argument("--stop-after", type=int, default=None)
+
+    s = sub.add_parser("stream")
+    s.add_argument("--log", required=True)
+    s.add_argument("--table", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--buckets", type=int, default=16)
+
+    w = sub.add_parser("show")
+    w.add_argument("--table", required=True)
+    w.add_argument("--limit", type=int, default=10)
+
+    args = p.parse_args(argv)
+
+    from etl_spark.session import get_spark
+
+    spark = get_spark(f"etl_spark-{args.cmd}")
+
+    if args.cmd == "gen":
+        from etl_spark.datagen import write_change_log
+
+        write_change_log(
+            spark, args.out, args.events,
+            n_convs=args.convs, n_epochs=args.epochs,
+            evolve_from_epoch=args.evolve_from, seed=args.seed,
+        )
+        print(json.dumps({"written": args.out, "events": args.events, "epochs": args.epochs}))
+        return 0
+
+    from etl_spark.cdc.engine import CdcEngine
+
+    if args.cmd == "replay":
+        eng = CdcEngine(spark, args.table, num_buckets=args.buckets)
+        results = eng.replay(args.log, stop_after=args.stop_after)
+        for st in results:
+            print(json.dumps({
+                "epoch": st.epoch, "snapshot_id": st.snapshot_id,
+                "rows_in": st.rows_in, "winners": st.winners,
+                "dirty_buckets": len(st.dirty_buckets),
+                "schema_changes": st.schema_changes,
+                "wall_s": round(st.wall_s, 2),
+                "events_per_s": round(st.events_per_s, 1),
+            }))
+        print(json.dumps({
+            "table_rows": eng.table.snapshot_df().count(),
+            "committed_epoch": eng.table.committed_epoch(),
+            "snapshot_id": eng.table.current_snapshot_id,
+        }))
+        return 0
+
+    if args.cmd == "stream":
+        eng = CdcEngine(spark, args.table, num_buckets=args.buckets)
+        q = eng.stream(args.log, args.checkpoint)
+        q.processAllAvailable()
+        q.stop()
+        print(json.dumps({
+            "table_rows": eng.table.snapshot_df().count(),
+            "batches": len(eng.lineage.rows()),
+        }))
+        return 0
+
+    if args.cmd == "show":
+        eng = CdcEngine(spark, args.table)
+        df = eng.table.snapshot_df()
+        print(json.dumps({
+            "rows": df.count(),
+            "schema": eng.table.schema().to_json(),
+            "committed_epoch": eng.table.committed_epoch(),
+            "committed_epoch_stream": eng.table.committed_epoch("stream"),
+            "snapshot_id": eng.table.current_snapshot_id,
+        }, indent=1))
+        for row in eng.lineage.rows()[-args.limit:]:
+            print(json.dumps(row))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,79 @@
+"""Last-writer-wins dedup over (op_ts, lsn) per (conv_id, turn_idx).
+
+Reference semantics: ROW_NUMBER() OVER (PARTITION BY unique_id,
+event_fingerprint ORDER BY collector_tstamp, enricher_tstamp, load_tstamp)
+keep rank=1 (/root/reference/etl/dags/user_history/include/load/modules/
+mod_load_data_get_data.sql:10-32) — here with DESC order so the *last*
+writer wins, per the north rule.
+
+Two physical strategies:
+
+* ``lww_dedup`` (default) — a single hash aggregation
+  ``max(struct(op_ts, lsn, payload...))`` per key. Struct comparison is
+  lexicographic, and (op_ts, lsn) is a strict total order per key, so the
+  max struct IS the last writer. This is the scale-correct plan: partial
+  aggregation combines duplicates map-side **before** the shuffle, so a hot
+  conv_id that appears 10^6 times in a batch ships at most
+  (#map partitions) pre-combined rows — hot-key skew is absorbed without
+  salting, and there is no per-partition sort at all.
+
+* ``lww_dedup_window`` — the reference-shaped salted two-phase window
+  (row_number per (key, salt) → re-rank winners), kept for parity and for
+  callers that need the full ranked stream rather than just winners.
+  Window functions get NO help from AQE skew handling; the salt bounds the
+  largest sort partition.
+
+Both return exactly one row per key with columns: key + payload + (op_ts, lsn, op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KEY = ["conv_id", "turn_idx"]
+ORDER = ["op_ts", "lsn"]
+
+
+def lww_dedup(changes: DataFrame, key: list[str] | None = None, order: list[str] | None = None) -> DataFrame:
+    """One winner per key by max (op_ts, lsn) — aggregation strategy.
+
+    Plan shape: HashAggregate(partial) -> Exchange(key) -> HashAggregate(final).
+    Map-side combine collapses duplicate keys before the shuffle → robust to
+    arbitrary key skew, no sort, no window.
+    """
+    key = key or KEY
+    order = order or ORDER
+    payload = [c for c in changes.columns if c not in key]
+    # order columns lead the struct => lexicographic max == last writer
+    packed = F.max(F.struct(*[F.col(c) for c in order], *[F.col(c) for c in payload if c not in order])).alias("_w")
+    out = changes.groupBy(*key).agg(packed)
+    return out.select(*key, *[F.col(f"_w.{c}").alias(c) for c in order], *[F.col(f"_w.{c}").alias(c) for c in payload if c not in order])
+
+
+def lww_dedup_window(
+    changes: DataFrame,
+    key: list[str] | None = None,
+    order: list[str] | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """One winner per key — salted two-phase window strategy.
+
+    Phase 1: row_number over (key, salt) keeps one candidate per salt
+    bucket (each sort partition bounded to ~1/salt_buckets of the hottest
+    key). Phase 2: re-rank the ≤salt_buckets candidates per key globally.
+    """
+    key = key or KEY
+    order = order or ORDER
+    desc = [F.col(c).desc() for c in order]
+    salted = changes.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(*key, "_salt").orderBy(*desc)
+    cand = salted.withColumn("_rn", F.row_number().over(w1)).where(F.col("_rn") == 1).drop("_rn")
+    w2 = Window.partitionBy(*key).orderBy(*desc)
+    return (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_salt")
+    )

@@ -1,0 +1,134 @@
+"""Field-ID-based table schema with add/widen evolution.
+
+Reproduces the reference's schema-evolution semantics — diff desired vs
+live columns, add the missing ones, never narrow — from
+/root/reference/etl/dags/user_history/include/user_history/
+insert_user_history.sql:15-42 (UNNEST diff → ALTER TABLE ADD COLUMN) and
+/root/reference/dataproc-appsflyer/spark_job_data_locker.py:283-312
+(set(source) - set(dest) → append NULLABLE columns), generalized with
+Iceberg-style stable field IDs so renames/readds can't silently remap data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# (from_type -> to_type) promotions that are lossless, per Iceberg's spec.
+_WIDEN_OK = {
+    ("int", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+@dataclass(frozen=True)
+class Field:
+    id: int
+    name: str
+    type: str  # Spark DDL simpleString, e.g. "bigint", "string", "timestamp"
+    nullable: bool = True
+
+    def to_json(self) -> dict:
+        return {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+
+    @staticmethod
+    def from_json(d: dict) -> "Field":
+        return Field(d["id"], d["name"], d["type"], d.get("nullable", True))
+
+
+@dataclass
+class TableSchema:
+    fields: list[Field]
+    next_field_id: int
+
+    @staticmethod
+    def from_struct(st: T.StructType, start_id: int = 1) -> "TableSchema":
+        fields = [
+            Field(start_id + i, f.name, f.dataType.simpleString(), f.nullable)
+            for i, f in enumerate(st.fields)
+        ]
+        return TableSchema(fields, start_id + len(fields))
+
+    def to_struct(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f.name, _parse_type(f.type), f.nullable) for f in self.fields]
+        )
+
+    def to_json(self) -> dict:
+        return {"fields": [f.to_json() for f in self.fields], "next_field_id": self.next_field_id}
+
+    @staticmethod
+    def from_json(d: dict) -> "TableSchema":
+        return TableSchema([Field.from_json(f) for f in d["fields"]], d["next_field_id"])
+
+    def names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    # -- evolution ---------------------------------------------------------
+
+    def evolve_to_accept(self, incoming: T.StructType) -> tuple["TableSchema", list[str]]:
+        """Return (new schema, change log) such that ``incoming`` rows fit.
+
+        Adds unseen columns with fresh field IDs; widens existing columns
+        along _WIDEN_OK; raises on any narrowing / incompatible change.
+        Column identity is by name for incoming data (like the reference's
+        name-based diff) but preserved by ID once in the table.
+        """
+        by_name = {f.name: f for f in self.fields}
+        new_fields = list(self.fields)
+        next_id = self.next_field_id
+        changes: list[str] = []
+        for inc in incoming.fields:
+            t = inc.dataType.simpleString()
+            cur = by_name.get(inc.name)
+            if cur is None:
+                new_fields.append(Field(next_id, inc.name, t, True))
+                changes.append(f"add {inc.name}:{t} (id={next_id})")
+                next_id += 1
+            elif cur.type != t:
+                if (cur.type, t) in _WIDEN_OK:
+                    i = new_fields.index(cur)
+                    new_fields[i] = Field(cur.id, cur.name, t, cur.nullable)
+                    changes.append(f"widen {inc.name}: {cur.type} -> {t} (id={cur.id})")
+                elif (t, cur.type) in _WIDEN_OK:
+                    pass  # incoming is narrower — table type already covers it
+                else:
+                    raise ValueError(
+                        f"incompatible schema change for column {inc.name!r}: "
+                        f"table has {cur.type}, incoming has {t}"
+                    )
+        return TableSchema(new_fields, next_id), changes
+
+
+def _parse_type(ddl: str) -> T.DataType:
+    return T.StructType.fromDDL(f"`x` {ddl}")[0].dataType
+
+
+def align(df: DataFrame, schema: TableSchema, keep_extra: list[str] | None = None) -> DataFrame:
+    """Project ``df`` onto ``schema``: cast present columns, NULL-fill missing.
+
+    ``keep_extra`` columns (engine internals like _op_ts/_lsn) pass through
+    unchanged if present. This is the read-side of schema evolution — old
+    data files keep their written schema; alignment happens at scan time
+    (Iceberg-style schema-on-read).
+    """
+    have = {f.name for f in df.schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(_parse_type(f.type)).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(_parse_type(f.type)).alias(f.name))
+    for name in keep_extra or []:
+        if name in have:
+            cols.append(F.col(name))
+    return df.select(*cols)

@@ -1,0 +1,135 @@
+"""End-to-end CDC correctness vs a DuckDB oracle (SURVEY §5 test plan).
+
+The oracle replays the full change log as a single argmax over
+(op_ts, lsn) per (conv_id, turn_idx), honoring I/U/D — the engine must
+converge to the same state no matter how the log is split into epochs,
+killed, resumed, or replayed (exactly-once + LWW semantics).
+"""
+
+import duckdb
+import pytest
+
+from etl_spark.cdc.dedup import lww_dedup, lww_dedup_window
+from etl_spark.cdc.engine import CdcEngine
+from etl_spark.datagen import gen_changes, write_change_log
+from tests.conftest import assert_pdf_equal
+
+N_EVENTS = 20_000
+N_CONVS = 300
+N_EPOCHS = 6
+EVOLVE_FROM = 4
+
+
+@pytest.fixture(scope="module")
+def change_log(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cdc") / "changes")
+    write_change_log(
+        spark, path, N_EVENTS,
+        n_convs=N_CONVS, n_epochs=N_EPOCHS, evolve_from_epoch=EVOLVE_FROM,
+    )
+    return path
+
+
+def oracle_final_state(change_log_dir: str, with_lang: bool = True):
+    cols = "conv_id, turn_idx, role, text, tool, ts" + (", lang" if with_lang else "")
+    q = f"""
+        WITH ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY conv_id, turn_idx
+                   ORDER BY op_ts DESC, lsn DESC) AS rn
+          FROM read_parquet('{change_log_dir}/epoch=*/*.parquet', union_by_name=true)
+        )
+        SELECT {cols} FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+    return duckdb.sql(q).df()
+
+
+def test_replay_matches_oracle(spark, change_log, tmp_path):
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=8)
+    results = eng.replay(change_log)
+    assert len(results) == N_EPOCHS and not any(r.skipped for r in results)
+    got = eng.table.snapshot_df().toPandas()
+    want = oracle_final_state(change_log)
+    assert len(got) > 0
+    assert_pdf_equal(got, want, ["conv_id", "turn_idx"])
+    # schema evolved mid-replay: lang exists, was added at EVOLVE_FROM
+    assert "lang" in eng.table.schema().names()
+    evolving = [r for r in results if r.schema_changes]
+    assert evolving and evolving[0].epoch == EVOLVE_FROM
+
+
+def test_replay_is_idempotent(spark, change_log, tmp_path):
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=8)
+    eng.replay(change_log)
+    v1 = eng.table.version
+    again = eng.replay(change_log)  # every epoch already committed → skipped
+    assert again == []
+    assert eng.table.version == v1
+
+
+def test_kill_and_resume(spark, change_log, tmp_path):
+    path = str(tmp_path / "tbl")
+    eng1 = CdcEngine(spark, path, num_buckets=8)
+    eng1.replay(change_log, stop_after=3)  # "kill" after 3 epochs
+    assert eng1.table.committed_epoch() == 2
+    # brand-new engine object resumes from table metadata alone
+    eng2 = CdcEngine(spark, path, num_buckets=8)
+    resumed = eng2.replay(change_log)
+    assert [r.epoch for r in resumed] == list(range(3, N_EPOCHS))
+    got = eng2.table.snapshot_df().toPandas()
+    assert_pdf_equal(got, oracle_final_state(change_log), ["conv_id", "turn_idx"])
+
+
+def test_deletes_tombstone_and_late_updates_lose(spark, tmp_path):
+    """A delete with the max (op_ts, lsn) hides the key even if an older
+    update replays afterwards (tombstone persistence across epochs)."""
+    import datetime as dt
+
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    e0 = spark.createDataFrame([
+        ("I", "c1", 0, "user", "hello", None,
+         t("2025-01-01 00:00:00"), t("2025-01-01 00:00:01"), 1),
+        ("D", "c1", 0, None, None, None,
+         None, t("2025-01-01 00:00:05"), 5),
+        ("D", "c9", 9, None, None, None,
+         None, t("2025-01-01 00:00:06"), 6),  # delete of absent key
+    ], schema=CHANGE_SCHEMA)
+    # late epoch: an UPDATE older than the applied delete must NOT resurrect c1/0
+    e1 = spark.createDataFrame([
+        ("U", "c1", 0, "user", "late", None,
+         t("2025-01-01 00:00:00"), t("2025-01-01 00:00:03"), 3),
+        ("U", "c2", 1, "assistant", "update-before-insert", None,
+         t("2025-01-01 00:00:00"), t("2025-01-01 00:00:07"), 7),
+    ], schema=CHANGE_SCHEMA)
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    from etl_spark.cdc.apply import apply_batch
+    apply_batch(eng.table, e0, epoch=0)
+    apply_batch(eng.table, e1, epoch=1)
+    final = {(r.conv_id, r.turn_idx): r.text for r in eng.table.snapshot_df().collect()}
+    assert final == {("c2", 1): "update-before-insert"}
+
+
+def test_dedup_strategies_agree(spark):
+    changes = gen_changes(spark, 10_000, n_convs=50, n_epochs=2)  # heavy skew
+    a = lww_dedup(changes).toPandas()
+    b = lww_dedup_window(changes).toPandas()
+    assert_pdf_equal(a, b, ["conv_id", "turn_idx"])
+
+
+def test_datagen_deterministic_across_parallelism(spark):
+    a = gen_changes(spark, 5_000, n_convs=40).toPandas()
+    b = gen_changes(spark, 5_000, n_convs=40).repartition(17).toPandas()
+    assert_pdf_equal(a, b, ["lsn", "conv_id", "turn_idx", "op_ts"])
+
+
+def test_lineage_recorded(spark, change_log, tmp_path):
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=8)
+    eng.replay(change_log)
+    rows = eng.lineage.rows()
+    assert len(rows) == N_EPOCHS
+    assert all(r["lsn_min"] is not None and r["lsn_max"] >= r["lsn_min"] for r in rows)
+    assert all(r["snapshot_id"] is not None for r in rows)
+    total = sum(r["rows_in"] for r in rows)
+    assert total == N_EVENTS

@@ -1,0 +1,72 @@
+"""Structured Streaming drive mode: file-source tail → foreachBatch MERGE.
+
+Checks: (a) streaming replay converges to the batch oracle; (b) a restarted
+stream with the same checkpoint only processes files that arrived since
+(checkpointed offsets + epoch fencing = exactly-once across restarts).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.cdc.engine import CdcEngine
+from etl_spark.datagen import gen_changes
+from tests.conftest import assert_pdf_equal
+
+N_EVENTS = 8_000
+N_EPOCHS = 4
+
+
+@pytest.fixture(scope="module")
+def stream_log(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "changes")
+    changes = gen_changes(spark, N_EVENTS, n_convs=120, n_epochs=N_EPOCHS)
+    for e in range(N_EPOCHS - 1):  # hold back the last epoch for the restart test
+        (changes.where(F.col("epoch") == e).drop("epoch")
+         .repartition(2).write.mode("overwrite").parquet(f"{path}/epoch={e:05d}"))
+    return path
+
+
+def _oracle(path):
+    return duckdb.sql(f"""
+        WITH ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                    ORDER BY op_ts DESC, lsn DESC) AS rn
+          FROM read_parquet('{path}/epoch=*/*.parquet')
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """).df()
+
+
+def test_stream_then_restart_exactly_once(spark, stream_log, tmp_path):
+    table_path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    eng = CdcEngine(spark, table_path, num_buckets=8)
+    q = eng.stream(stream_log, ckpt, max_files_per_trigger=3)
+    q.processAllAvailable()
+    q.stop()
+
+    got = eng.table.snapshot_df().toPandas()
+    assert_pdf_equal(got, _oracle(stream_log), ["conv_id", "turn_idx"])
+    n_batches_first = len(eng.lineage.rows())
+    assert n_batches_first >= 2  # maxFilesPerTrigger=3 over 6 files → ≥2 batches
+
+    # late arrival: the held-back epoch lands after the stream stopped
+    changes = gen_changes(spark, N_EVENTS, n_convs=120, n_epochs=N_EPOCHS)
+    (changes.where(F.col("epoch") == N_EPOCHS - 1).drop("epoch")
+     .repartition(2).write.mode("overwrite")
+     .parquet(f"{stream_log}/epoch={N_EPOCHS - 1:05d}"))
+
+    # restart from the same checkpoint: only the new files are processed
+    eng2 = CdcEngine(spark, table_path, num_buckets=8)
+    q2 = eng2.stream(stream_log, ckpt, max_files_per_trigger=3)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got2 = eng2.table.snapshot_df().toPandas()
+    assert_pdf_equal(got2, _oracle(stream_log), ["conv_id", "turn_idx"])
+    new_rows = eng2.lineage.rows()[n_batches_first:]
+    applied = [r for r in new_rows if not r["skipped"]]
+    assert 1 <= len(applied) <= 2  # just the late epoch's 2 files
