@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark harness — driver contract.
+
+Runs, on ``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``):
+
+  1. **cdc_replay** — the engine's headline: full replay of a
+     deterministic, sf-scaled CDC change log (generated untimed into a
+     temp dir) through the exactly-once MERGE path into a fresh
+     LakeTable. This is the north-rule metric: change-events/sec of
+     end-to-end upsert throughput, lineage recording included.
+  2. every registered operator-coverage query from ``etl_spark.queries``,
+     executed to completion with a ``noop`` sink (no driver collect).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {"cdc_replay": sec, "<qname>": sec, ...}, "sf": ...,
+   "cdc": {"events": N, "events_per_s": ..., "epochs": ...}}
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+``scripts/scaling.py`` (subprocess per parallelism level); results are
+recorded in BASELINE.md — not rerun here to keep the per-round bench fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+
+    from etl_spark.session import get_spark
+
+    spark = get_spark("etl_spark_bench")
+
+    from etl_spark.cdc.engine import CdcEngine
+    from etl_spark.datagen import write_change_log
+    from etl_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix="etl_spark_bench_")
+    try:
+        # -- 1. CDC replay (untimed generation, timed apply) -------------
+        n_events = max(50_000, int(20_000_000 * sf))
+        n_convs = max(200, int(n_events / 2_000))
+        n_epochs = 8
+        log_dir = os.path.join(work, "changes")
+        write_change_log(
+            spark, log_dir, n_events,
+            n_convs=n_convs, n_epochs=n_epochs, evolve_from_epoch=n_epochs - 2,
+        )
+
+        eng = CdcEngine(spark, os.path.join(work, "table"), num_buckets=32)
+        t0 = time.time()
+        results = eng.replay(log_dir)
+        replay_s = time.time() - t0
+        timings["cdc_replay"] = round(replay_s, 3)
+        cdc_stats = {
+            "events": n_events,
+            "epochs": len(results),
+            "events_per_s": round(n_events / replay_s, 1),
+            "final_rows": int(eng.table.snapshot_df().count()),
+        }
+
+        # -- 2. operator-coverage query suite ----------------------------
+        for name in sorted(QUERIES):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_sec (cdc replay + operator query suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cdc": cdc_stats,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
