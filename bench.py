@@ -54,13 +54,16 @@ def main() -> int:
     work = tempfile.mkdtemp(prefix="etl_spark_bench_")
     try:
         # -- 1. CDC replay (untimed generation, timed apply) -------------
-        n_events = max(50_000, int(20_000_000 * sf))
+        # Epochs sized ~1M events: per-epoch fixed cost (job scheduling,
+        # meta commit) amortizes like a real large-batch ingest; the 100 TB
+        # operating point is huge micro-batches, not thousands of tiny ones.
+        n_events = max(100_000, int(40_000_000 * sf))
         n_convs = max(200, int(n_events / 2_000))
-        n_epochs = 8
+        n_epochs = 4
         log_dir = os.path.join(work, "changes")
         write_change_log(
             spark, log_dir, n_events,
-            n_convs=n_convs, n_epochs=n_epochs, evolve_from_epoch=n_epochs - 2,
+            n_convs=n_convs, n_epochs=n_epochs, evolve_from_epoch=n_epochs - 1,
         )
 
         eng = CdcEngine(spark, os.path.join(work, "table"), num_buckets=32)

@@ -12,22 +12,29 @@ load/modules/mod_data_insert.sql:2-7, appsflyer/update_user_map.sql:208-269):
   WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
   WHEN NOT MATCHED AND s.op =  'D' THEN tombstone   -- delete-of-absent fence
 
-Implementation is a *bucket-wise copy-on-write LWW fold*, not a join tree:
-the batch winners and the current rows of the **dirty buckets only** are
-unioned and re-reduced by the same max(struct) LWW aggregation — target
-rows carry their stored (_op_ts, _lsn), so a late/out-of-order change
-(older than what's applied) loses and the table is unchanged: replay in
-any epoch order converges to the same state (the oracle's argmax).
-Deletes persist as tombstones so a late pre-delete update cannot
+Physical strategy: **merge-on-read delta append** (LakeTable format v2).
+The batch is LWW-deduped to one winner per key (hash agg, skew-safe — see
+``dedup.lww_dedup``) and those winners are written as per-bucket *delta*
+files; the table is NOT read at apply time. The LWW resolve happens at
+read (base ∪ deltas folded by the same max-struct argmax, target rows
+comparing on their stored ``(_op_ts, _lsn)``), so a late/out-of-order
+change — older than what's applied — loses and the table is unchanged:
+replay in any epoch order converges to the same state (the oracle's
+argmax). Deletes persist as tombstones so a late pre-delete update cannot
 resurrect a deleted key; ``snapshot_df`` filters them out.
 
 Scale notes:
-  * only dirty buckets are read and rewritten — write amplification is
-    bounded by (touched buckets / total buckets) of the table;
+  * apply cost is O(batch), never O(table): only winner rows are written,
+    into only the buckets the batch touches;
+  * read cost stays bounded by auto-compaction (fold deltas into a new
+    base once a bucket exceeds the threshold) — amortized O(1) rewrites;
   * the LWW fold is a hash agg with map-side partial combine → hot-key
-    safe (see ``dedup.lww_dedup``);
+    safe without salting;
   * epoch fencing makes the whole thing idempotent: a replayed epoch is
-    skipped before any read.
+    skipped before any read, and a crash between delta write and commit
+    leaves only an unreferenced directory that the replay overwrites;
+  * lineage offsets (rows_in, lsn range) ride the same aggregation as the
+    dedup — the change log is scanned exactly once per batch.
 """
 
 from __future__ import annotations
@@ -35,12 +42,12 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..lake.schema import align
 from ..lake.table import LakeTable
-from .dedup import KEY, ORDER, lww_dedup
+from .dedup import ORDER, lww_dedup
 
 
 @dataclass
@@ -52,6 +59,10 @@ class ApplyStats:
     winners: int = 0
     dirty_buckets: list[int] = field(default_factory=list)
     schema_changes: list[str] = field(default_factory=list)
+    compacted_buckets: list[int] = field(default_factory=list)
+    lsn_min: int | None = None
+    lsn_max: int | None = None
+    op_ts_max: str | None = None
     wall_s: float = 0.0
 
     @property
@@ -65,6 +76,7 @@ def apply_batch(
     epoch: int,
     source: str = "default",
     evolve: bool = True,
+    compact: bool = True,
 ) -> ApplyStats:
     """Apply one micro-batch of changes. Idempotent per (source, epoch)."""
     t0 = time.time()
@@ -80,50 +92,70 @@ def apply_batch(
         stats.schema_changes = table.evolve_schema(payload_struct)
     schema = table.schema()
 
-    # 2. LWW-dedup the batch (hash agg, skew-safe) and bucket the winners
-    winners = lww_dedup(changes).withColumn(
-        "_bucket", table.bucket_expr(F.col(table.bucket_key))
+    # 2. LWW-dedup the batch (hash agg, skew-safe), bucket the winners, and
+    #    piggy-back lineage offsets on the same single scan of the log
+    winners = lww_dedup(
+        changes,
+        key=table.key_cols,
+        extra_aggs={
+            "_cnt": F.count(F.lit(1)),
+            "_lsn_min": F.min("lsn"),
+            "_lsn_max": F.max("lsn"),
+        },
+    ).withColumn("_bucket", table.bucket_expr(F.col(table.bucket_key)))
+
+    # Lineage/commit stats ride the write job as an Observation — the whole
+    # apply is ONE Spark job (scan → partial agg → exchange → final agg →
+    # exchange(_bucket) → parquet), no persist, no separate collect pass.
+    # Minimizing driver-side serial work per epoch is what keeps scaling
+    # efficiency high (Amdahl): at 4× cores the only non-scaling parts left
+    # are the output commit and one metadata fsync.
+    obs = Observation(f"apply_{source}_{epoch}")
+    winners = winners.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_cnt").alias("rows_in"),
+        F.min("_lsn_min").alias("lsn_min"),
+        F.max("_lsn_max").alias("lsn_max"),
+        F.max("op_ts").alias("op_ts_max"),
+        F.collect_set("_bucket").alias("buckets"),
     )
-    winners = winners.persist()
-    try:
-        counts = winners.groupBy("_bucket").count().collect()  # ≤ num_buckets rows
-        stats.winners = sum(r["count"] for r in counts)
-        stats.dirty_buckets = sorted(int(r["_bucket"]) for r in counts)
-        if not stats.dirty_buckets:
-            # nothing to do, but still fence the epoch (exactly-once bookkeeping)
-            sid = table.commit(epoch, source, f"data/snap-{table.current_snapshot_id + 1:08d}",
-                               [], {"rows": 0})
-            stats.snapshot_id = sid
-            stats.wall_s = time.time() - t0
-            return stats
 
-        as_stored = align(winners, schema, keep_extra=["op", "op_ts", "lsn", "_bucket"]).select(
-            *schema.names(),
-            F.col("op_ts").alias("_op_ts"),
-            F.col("lsn").alias("_lsn"),
-            (F.col("op") == "D").alias("_tombstone"),
-            F.col("_bucket"),
-        )
+    as_stored = align(
+        winners, schema, keep_extra=["op", "op_ts", "lsn", "_bucket"]
+    ).select(
+        *schema.names(),
+        F.col("op_ts").alias("_op_ts"),
+        F.col("lsn").alias("_lsn"),
+        (F.col("op") == "D").alias("_tombstone"),
+        F.col("_bucket"),
+    )
 
-        # 3. read ONLY dirty buckets of the current snapshot and LWW-fold
-        current = table.read_buckets(stats.dirty_buckets, with_internal=True)
-        merged = lww_dedup(
-            current.unionByName(as_stored),
-            key=KEY,
-            order=["_op_ts", "_lsn"],
-        )
+    # 3. write winners as a DELTA file set (only dirty buckets; O(batch))
+    next_sid = table.current_snapshot_id + 1
+    rel = table.write_files(as_stored, f"data/delta-{next_sid:08d}")
 
-        # 4. write new data for dirty buckets, then atomically commit
-        next_sid = table.current_snapshot_id + 1
-        rel = table.write_snapshot_data(merged, next_sid)
-        stats.snapshot_id = table.commit(
-            epoch,
-            source,
-            rel,
-            stats.dirty_buckets,
-            stats={"winners": stats.winners, "schema_changes": stats.schema_changes},
-        )
-    finally:
-        winners.unpersist()
+    m = obs.get
+    stats.winners = int(m["n_keys"])
+    stats.rows_in = int(m["rows_in"] or 0)
+    stats.dirty_buckets = sorted(int(b) for b in (m["buckets"] or []))
+    stats.lsn_min = m["lsn_min"]
+    stats.lsn_max = m["lsn_max"]
+    stats.op_ts_max = str(m["op_ts_max"]) if m["op_ts_max"] is not None else None
+    stats.snapshot_id = table.commit_delta(
+        epoch,
+        source,
+        rel if stats.dirty_buckets else "",
+        stats.dirty_buckets,
+        stats={"winners": stats.winners, "schema_changes": stats.schema_changes},
+    )
+
+    # 4. bounded read amplification: compact buckets that crossed the
+    #    delta-count threshold (separate maintenance commit, crash-safe)
+    if compact:
+        need = table.buckets_needing_compaction()
+        if need:
+            table.compact(need)
+            stats.compacted_buckets = need
     stats.wall_s = time.time() - t0
     return stats

@@ -35,20 +35,34 @@ KEY = ["conv_id", "turn_idx"]
 ORDER = ["op_ts", "lsn"]
 
 
-def lww_dedup(changes: DataFrame, key: list[str] | None = None, order: list[str] | None = None) -> DataFrame:
+def lww_dedup(
+    changes: DataFrame,
+    key: list[str] | None = None,
+    order: list[str] | None = None,
+    extra_aggs: dict[str, "F.Column"] | None = None,
+) -> DataFrame:
     """One winner per key by max (op_ts, lsn) — aggregation strategy.
 
     Plan shape: HashAggregate(partial) -> Exchange(key) -> HashAggregate(final).
     Map-side combine collapses duplicate keys before the shuffle → robust to
     arbitrary key skew, no sort, no window.
+
+    ``extra_aggs`` ride the same aggregation (e.g. per-key dup counts /
+    lsn ranges for lineage) so callers never need a second scan of the log.
     """
     key = key or KEY
     order = order or ORDER
     payload = [c for c in changes.columns if c not in key]
     # order columns lead the struct => lexicographic max == last writer
     packed = F.max(F.struct(*[F.col(c) for c in order], *[F.col(c) for c in payload if c not in order])).alias("_w")
-    out = changes.groupBy(*key).agg(packed)
-    return out.select(*key, *[F.col(f"_w.{c}").alias(c) for c in order], *[F.col(f"_w.{c}").alias(c) for c in payload if c not in order])
+    extras = [expr.alias(name) for name, expr in (extra_aggs or {}).items()]
+    out = changes.groupBy(*key).agg(packed, *extras)
+    return out.select(
+        *key,
+        *[F.col(f"_w.{c}").alias(c) for c in order],
+        *[F.col(f"_w.{c}").alias(c) for c in payload if c not in order],
+        *[F.col(name) for name in (extra_aggs or {})],
+    )
 
 
 def lww_dedup_window(

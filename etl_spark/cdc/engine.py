@@ -27,7 +27,7 @@ import os
 import re
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
+
 from pyspark.sql import types as T
 
 from ..lake.table import LakeTable
@@ -83,13 +83,12 @@ class CdcEngine:
         change_log_dir: str,
         source: str = "default",
         stop_after: int | None = None,
-        count_input: bool = True,
     ) -> list[ApplyStats]:
         """Apply every epoch directory in order; skip already-committed ones.
 
         ``stop_after`` applies at most that many *new* epochs (kill/resume
-        test hook). ``count_input`` adds a cheap 2-column agg per epoch for
-        lineage offset ranges (lsn min/max) — disable for pure-throughput runs.
+        test hook). Lineage offsets (rows_in, lsn range) come out of the
+        apply's own dedup aggregation — the log is scanned once per epoch.
         """
         results: list[ApplyStats] = []
         applied = 0
@@ -99,39 +98,31 @@ class CdcEngine:
             if stop_after is not None and applied >= stop_after:
                 break
             changes = self.spark.read.parquet(path)
-            offsets = {}
-            if count_input:
-                r = changes.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.min("lsn").alias("lsn_min"),
-                    F.max("lsn").alias("lsn_max"),
-                    F.max("op_ts").alias("op_ts_max"),
-                ).collect()[0]
-                offsets = {
-                    "rows_in": r["n"],
-                    "lsn_min": r["lsn_min"],
-                    "lsn_max": r["lsn_max"],
-                    "op_ts_max": r["op_ts_max"],
-                }
             stats = apply_batch(self.table, changes, epoch, source=source)
-            stats.rows_in = int(offsets.get("rows_in") or 0)
-            self.lineage.record(
-                {
-                    "source": source,
-                    "epoch": epoch,
-                    "snapshot_id": stats.snapshot_id,
-                    "skipped": stats.skipped,
-                    **offsets,
-                    "winners": stats.winners,
-                    "dirty_buckets": stats.dirty_buckets,
-                    "schema_changes": stats.schema_changes,
-                    "wall_s": round(stats.wall_s, 3),
-                    "events_per_s": round(stats.events_per_s, 1),
-                }
-            )
+            self._record(source, stats)
             results.append(stats)
             applied += 1
         return results
+
+    def _record(self, source: str, stats: ApplyStats) -> None:
+        self.lineage.record(
+            {
+                "source": source,
+                "epoch": stats.epoch,
+                "snapshot_id": stats.snapshot_id,
+                "skipped": stats.skipped,
+                "rows_in": stats.rows_in,
+                "lsn_min": stats.lsn_min,
+                "lsn_max": stats.lsn_max,
+                "op_ts_max": stats.op_ts_max,
+                "winners": stats.winners,
+                "dirty_buckets": stats.dirty_buckets,
+                "compacted_buckets": stats.compacted_buckets,
+                "schema_changes": stats.schema_changes,
+                "wall_s": round(stats.wall_s, 3),
+                "events_per_s": round(stats.events_per_s, 1),
+            }
+        )
 
     # -- structured streaming ---------------------------------------------------
 
@@ -161,18 +152,7 @@ class CdcEngine:
 
         def _apply(batch_df, batch_id: int):
             stats = apply_batch(self.table, batch_df, int(batch_id), source=source)
-            self.lineage.record(
-                {
-                    "source": source,
-                    "epoch": int(batch_id),
-                    "snapshot_id": stats.snapshot_id,
-                    "skipped": stats.skipped,
-                    "winners": stats.winners,
-                    "dirty_buckets": stats.dirty_buckets,
-                    "schema_changes": stats.schema_changes,
-                    "wall_s": round(stats.wall_s, 3),
-                }
-            )
+            self._record(source, stats)
 
         return (
             stream_df.writeStream.foreachBatch(_apply)

@@ -145,6 +145,7 @@ def write_change_log(
     path: str,
     n_events: int,
     evolve_from_epoch: int | None = None,
+    files_per_epoch: int = 32,
     **kwargs,
 ) -> None:
     """Write the change log as one parquet dir per epoch (``epoch=K/``).
@@ -152,6 +153,10 @@ def write_change_log(
     If ``evolve_from_epoch`` is set, epochs ≥ it carry the extra ``lang``
     column (schema-evolution fixture) — earlier epochs don't have it at all,
     so the engine must widen the target schema mid-replay.
+
+    ``files_per_epoch`` controls scan parallelism downstream: a real binlog
+    shard set is many files, and the apply's map side can use at most one
+    task per parquet split — too few files serializes the whole scan.
     """
     n_epochs = kwargs.get("n_epochs", 8)
     plain = gen_changes(spark, n_events, **kwargs)
@@ -161,7 +166,7 @@ def write_change_log(
         (
             src.where(F.col("epoch") == e)
             .drop("epoch")
-            .repartition(4)
+            .repartition(files_per_epoch)
             .write.mode("overwrite")
             .parquet(f"{path}/epoch={e:05d}")
         )

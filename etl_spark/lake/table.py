@@ -15,11 +15,20 @@ needs, built only on parquet + atomic metadata swaps:
     (reference skip-guard: /root/reference/etl/dags/user_history/include/
     load/modules/mod_load_data_declare.sql:30-36; anti-join insert:
     mod_data_insert.sql:2-7).
-  * **Bucket partitioning** — data lives under ``data/snap-{id}/_bucket=K``;
-    the files map points each bucket at its current snapshot directory, so
-    a MERGE rewrites only dirty buckets (copy-on-write) and reads prune to
-    them. At 100 TB the bucket count is the unit of merge parallelism and
-    write amplification control.
+  * **Merge-on-read deltas + auto-compaction** — data lives per bucket as
+    one *base* file set plus a list of *delta* file sets (one per commit
+    that touched the bucket). A CDC apply writes ONLY the batch winners as
+    deltas (write amplification = O(batch), never O(table)); readers fold
+    base ∪ deltas with the same LWW ``max(struct(order, payload))``
+    aggregation the dedup path uses, so the visible state is always the
+    argmax over ``(_op_ts, _lsn)`` per key. When a bucket accumulates more
+    than ``compact_threshold`` deltas it is compacted (fold → new base) in
+    a separate maintenance commit — read cost stays bounded while write
+    cost stays proportional to the batch. At 100 TB this is the difference
+    between an upsert engine and a table-rewrite-per-batch job.
+  * **Tombstones** — deletes are rows with ``_tombstone=true``. They are
+    retained through compaction (a late, older update must not resurrect a
+    deleted key) and filtered only in ``snapshot_df``.
   * **Field-ID schema evolution** — see ``lake.schema``; each data
     directory records the schema version it was written with, and reads
     align every directory to the current schema (schema-on-read), so
@@ -55,6 +64,7 @@ _INTERNAL_TYPES = {
     "_tombstone": T.BooleanType(),
     "_bucket": T.IntegerType(),
 }
+ORDER_COLS = ["_op_ts", "_lsn"]
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -74,8 +84,10 @@ class LakeTable:
         spark: SparkSession,
         path: str,
         schema: T.StructType,
+        key_cols: list[str] | None = None,
         bucket_key: str = "conv_id",
         num_buckets: int = 16,
+        compact_threshold: int = 8,
         if_not_exists: bool = False,
     ) -> "LakeTable":
         meta_dir = os.path.join(path, META_DIR)
@@ -86,16 +98,22 @@ class LakeTable:
         os.makedirs(meta_dir, exist_ok=True)
         ts = TableSchema.from_struct(schema)
         meta = {
-            "format_version": 1,
+            "format_version": 2,
             "table_uuid": str(uuid.uuid4()),
             "version": 0,
             "current_snapshot_id": 0,
-            "partition": {"bucket_key": bucket_key, "num_buckets": num_buckets},
+            "partition": {
+                "bucket_key": bucket_key,
+                "num_buckets": num_buckets,
+                "key_cols": key_cols or ["conv_id", "turn_idx"],
+                "compact_threshold": compact_threshold,
+            },
             "schemas": {"0": ts.to_json()},
             "current_schema_version": 0,
             "snapshots": [],
             "committed_epochs": {},
-            # bucket(str) -> {"path": rel_dir, "schema_version": int}
+            # bucket(str) -> {"base": entry|None, "deltas": [entry, ...]}
+            # where entry = {"path": rel_dir, "schema_version": int}
             "files": {},
         }
         _atomic_write_json(os.path.join(meta_dir, "v0.json"), meta)
@@ -132,6 +150,14 @@ class LakeTable:
     def bucket_key(self) -> str:
         return self._meta["partition"]["bucket_key"]
 
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self._meta["partition"]["key_cols"])
+
+    @property
+    def compact_threshold(self) -> int:
+        return int(self._meta["partition"].get("compact_threshold", 8))
+
     def schema(self) -> TableSchema:
         return TableSchema.from_json(
             self._meta["schemas"][str(self._meta["current_schema_version"])]
@@ -143,31 +169,51 @@ class LakeTable:
     def committed_epoch(self, source: str = "default") -> int:
         return int(self._meta["committed_epochs"].get(source, -1))
 
+    def delta_counts(self) -> dict[int, int]:
+        return {int(b): len(e["deltas"]) for b, e in self._meta["files"].items()}
+
     # -- reads ---------------------------------------------------------------
 
     def bucket_expr(self, col):
         """Deterministic bucket id for a key column (matches write path)."""
         return F.pmod(F.xxhash64(col), F.lit(self.num_buckets)).cast("int")
 
-    def read_buckets(self, buckets: list[int] | None = None, with_internal: bool = True) -> DataFrame:
+    def _empty(self, with_internal: bool) -> DataFrame:
+        st = self.schema().to_struct()
+        if with_internal:
+            for c in INTERNAL_COLS:
+                st = st.add(c, _INTERNAL_TYPES[c])
+        return self.spark.createDataFrame([], st)
+
+    def read_buckets(
+        self,
+        buckets: list[int] | None = None,
+        with_internal: bool = True,
+        fold: bool = True,
+    ) -> DataFrame:
         """Scan current snapshot, pruned to ``buckets`` (None = all).
 
-        Directories are grouped by the schema version they were written
-        with; each group is read with its own physical schema and aligned
-        to the current table schema before the union (schema-on-read).
+        Reads every live file set (base + deltas) of the selected buckets,
+        aligns each to the current table schema (directories are grouped by
+        the schema version they were written with — schema-on-read), and,
+        with ``fold=True``, LWW-folds to one row per key by max
+        ``(_op_ts, _lsn)`` — the merge-on-read resolve. ``fold=False``
+        returns the raw multi-version rows (compaction/debug path).
         """
         files = self._meta["files"]
         sel = {int(b): v for b, v in files.items() if buckets is None or int(b) in set(buckets)}
+        entries = []
+        for b, e in sel.items():
+            if e.get("base"):
+                entries.append(e["base"])
+            entries.extend(e["deltas"])
+        if not entries:
+            return self._empty(with_internal)
+
         schema = self.schema()
-        internal = INTERNAL_COLS if with_internal else []
-        if not sel:
-            empty_schema = schema.to_struct()
-            if with_internal:
-                for c in INTERNAL_COLS:
-                    empty_schema = empty_schema.add(c, _INTERNAL_TYPES[c])
-            return self.spark.createDataFrame([], empty_schema)
+        internal = INTERNAL_COLS if with_internal or fold else []
         by_sv: dict[int, list[str]] = {}
-        for b, entry in sel.items():
+        for entry in entries:
             by_sv.setdefault(entry["schema_version"], []).append(
                 os.path.join(self.path, entry["path"])
             )
@@ -177,14 +223,34 @@ class LakeTable:
             part = align(df, schema, keep_extra=internal)
             # _bucket is a partition directory on disk, not a stored column —
             # recompute it (same deterministic expr as the write path)
-            if with_internal and "_bucket" not in part.columns:
+            if internal and "_bucket" not in part.columns:
                 part = part.withColumn("_bucket", self.bucket_expr(F.col(self.bucket_key)))
             parts.append(part)
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        out = reduce(lambda a, b: a.unionByName(b), parts)
+        if fold:
+            out = self._lww_fold(out)
+            if not with_internal:
+                out = out.drop(*INTERNAL_COLS)
+        return out
+
+    def _lww_fold(self, df: DataFrame) -> DataFrame:
+        """One row per key: argmax over (_op_ts, _lsn) — hash agg with
+        map-side partial combine (skew-safe; same plan as cdc.dedup)."""
+        key = self.key_cols
+        payload = [c for c in df.columns if c not in key and c not in ORDER_COLS]
+        packed = F.max(
+            F.struct(*[F.col(c) for c in ORDER_COLS], *[F.col(c) for c in payload])
+        ).alias("_w")
+        out = df.groupBy(*key).agg(packed)
+        return out.select(
+            *key,
+            *[F.col(f"_w.{c}").alias(c) for c in payload],
+            *[F.col(f"_w.{c}").alias(c) for c in ORDER_COLS],
+        )
 
     def snapshot_df(self) -> DataFrame:
         """Current logical table state: payload columns, tombstones filtered."""
-        df = self.read_buckets(None, with_internal=True)
+        df = self.read_buckets(None, with_internal=True, fold=True)
         return df.where(~F.coalesce(F.col("_tombstone"), F.lit(False))).select(
             *self.schema().names()
         )
@@ -206,42 +272,44 @@ class LakeTable:
 
     # -- writes ----------------------------------------------------------------
 
-    def write_snapshot_data(self, df: DataFrame, snapshot_id: int) -> str:
-        """Write data files for a snapshot: partitioned by ``_bucket``.
+    def write_files(self, df: DataFrame, rel: str) -> str:
+        """Write one file set (delta or base), partitioned by ``_bucket``.
 
-        ``mode=overwrite`` makes a crash-replayed write of the same snapshot
-        id self-cleaning (the orphan from the failed attempt is replaced).
+        ``mode=overwrite`` makes a crash-replayed write of the same
+        directory self-cleaning (the orphan from the failed attempt is
+        replaced before it is ever referenced by metadata).
         """
-        rel = f"data/snap-{snapshot_id:08d}"
         out = os.path.join(self.path, rel)
         (
-            df.repartition(F.col("_bucket"))
+            df.repartition(self.num_buckets, F.col("_bucket"))
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(out)
         )
         return rel
 
-    def commit(
+    def commit_delta(
         self,
         epoch: int,
         source: str,
-        snapshot_rel_path: str,
+        delta_rel_path: str,
         dirty_buckets: list[int],
         stats: dict | None = None,
     ) -> int:
-        """Atomically publish a snapshot: repoint dirty buckets, fence epoch."""
+        """Atomically publish a delta commit: append one delta entry per
+        dirty bucket, fence the epoch."""
         meta = json.loads(json.dumps(self._meta))
         sid = meta["current_snapshot_id"] + 1
         sv = meta["current_schema_version"]
         for b in dirty_buckets:
-            meta["files"][str(int(b))] = {
-                "path": f"{snapshot_rel_path}/_bucket={int(b)}",
-                "schema_version": sv,
-            }
+            slot = meta["files"].setdefault(str(int(b)), {"base": None, "deltas": []})
+            slot["deltas"].append(
+                {"path": f"{delta_rel_path}/_bucket={int(b)}", "schema_version": sv}
+            )
         meta["snapshots"].append(
             {
                 "snapshot_id": sid,
+                "kind": "delta",
                 "epoch": epoch,
                 "source": source,
                 "committed_at": time.time(),
@@ -251,6 +319,45 @@ class LakeTable:
         )
         meta["current_snapshot_id"] = sid
         meta["committed_epochs"][source] = max(epoch, self.committed_epoch(source))
+        self._commit_meta(meta)
+        return sid
+
+    # -- compaction -------------------------------------------------------------
+
+    def buckets_needing_compaction(self) -> list[int]:
+        return sorted(
+            b for b, n in self.delta_counts().items() if n >= self.compact_threshold
+        )
+
+    def compact(self, buckets: list[int] | None = None) -> int | None:
+        """Fold base ∪ deltas of ``buckets`` into a fresh base (maintenance
+        commit, not epoch-fenced). Tombstones are RETAINED so late older
+        updates can never resurrect deleted keys. Returns snapshot id or
+        None if nothing to do."""
+        buckets = self.buckets_needing_compaction() if buckets is None else buckets
+        if not buckets:
+            return None
+        folded = self.read_buckets(buckets, with_internal=True, fold=True)
+        sid = self.current_snapshot_id + 1
+        rel = f"data/base-{sid:08d}"
+        self.write_files(folded, rel)
+
+        meta = json.loads(json.dumps(self._meta))
+        sv = meta["current_schema_version"]
+        for b in buckets:
+            meta["files"][str(int(b))] = {
+                "base": {"path": f"{rel}/_bucket={int(b)}", "schema_version": sv},
+                "deltas": [],
+            }
+        meta["snapshots"].append(
+            {
+                "snapshot_id": sid,
+                "kind": "compaction",
+                "committed_at": time.time(),
+                "dirty_buckets": sorted(int(b) for b in buckets),
+            }
+        )
+        meta["current_snapshot_id"] = sid
         self._commit_meta(meta)
         return sid
 

@@ -44,11 +44,26 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Don't let AQE coalesce post-shuffle aggs below the core count —
+        # the default 64m advisory serializes medium shuffles onto 1-3
+        # tasks, which caps scaling at higher parallelism.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Throughput-oriented GC: the ingest path is allocation-heavy
+        # (struct-max hash agg over wide rows); ParallelGC sustains higher
+        # allocation rates than G1 at high task-thread counts in local mode.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
+        # Per-task direct commit (v2): removes the serial driver-side
+        # rename pass at job commit — matters for per-epoch latency.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
     )
