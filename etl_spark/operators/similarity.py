@@ -1,0 +1,270 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Three operators, all pure ``pyspark.sql.functions`` higher-order array
+expressions (JVM-side, whole-stage codegen; no Python in the hot path):
+
+  * ``cosine_topk``          — brute-force cosine top-k: broadcast the
+                               (small) query set against the corpus.
+                               The exact baseline every ANN variant is
+                               measured against.
+  * ``lsh_cosine_topk``      — random-hyperplane LSH: each vector gets a
+                               sign-bit signature from ``num_planes``
+                               deterministic pseudo-random hyperplanes;
+                               top-k is searched only among vectors in
+                               the SAME bucket. At scale this turns an
+                               O(Q×N) scan into a bucket-pruned join.
+  * ``embedding_near_dups``  — near-duplicate pairs by cosine ≥ threshold
+                               (semantic dedup for training corpora),
+                               blocked by a coarse key.
+
+The hyperplanes are derived from md5 hex digits (deterministic, seedable,
+and reproducible in any engine — the DuckDB oracle computes bit-identical
+signatures), centered on [-7.5, 7.5] per component.
+
+Scale notes: brute force broadcasts queries (fine for ≤10^4 queries ×
+any corpus: one pass, no shuffle of the corpus); LSH shuffles on the
+bucket signature only; near-dup blocks on a coarse key exactly like
+textdedup's blocked Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HEX = "0123456789abcdef"
+
+
+def dot(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a, b) -> "F.Column":
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _plane_component(p: int, d) -> "F.Column":
+    """Deterministic hyperplane component in [-7.5, 7.5]: the value of a
+    hex digit of md5('p{p}|{d}') minus 7.5 (zero-mean)."""
+    h = F.md5(F.concat(F.lit(f"p{p}|"), d.cast("string")))
+    return (F.instr(F.lit(HEX), F.substring(h, 1, 1)) - 1).cast("double") - 7.5
+
+
+def lsh_signature(vec, num_planes: int = 8) -> "F.Column":
+    """Sign-bit signature string: bit p = 1 iff dot(vec, plane_p) > 0."""
+    dim = F.size(vec)
+
+    def _proj(p: int):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), dim - 1),
+                lambda x, i: x.cast("double") * _plane_component(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bits = [
+        F.when(_proj(p) > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(num_planes)
+    ]
+    return F.concat(*bits)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (brute force, broadcast
+    queries). Deterministic tie-break on neighbor id."""
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(vectors)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cos", 4).alias("cos_r"), "rk")
+    )
+
+
+def lsh_table_signatures(
+    vec, num_tables: int = 6, planes_per_table: int = 4
+) -> "F.Column":
+    """Multi-table LSH: array of (tbl, sig) structs, one per hash table.
+    Each table uses its own disjoint plane set (global plane index
+    ``tbl * planes_per_table + p``). A single fine signature shatters the
+    corpus into near-singleton buckets (recall collapses); L coarser
+    tables union their buckets — the classic recall/cost dial."""
+    dim = F.size(vec)
+
+    def _proj(gp: int):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), dim - 1),
+                lambda x, i: x.cast("double") * _plane_component(gp, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    tables = []
+    for t in range(num_tables):
+        bits = [
+            F.when(_proj(t * planes_per_table + p) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(planes_per_table)
+        ]
+        tables.append(F.struct(F.lit(t).alias("tbl"), F.concat(*bits).alias("sig")))
+    return F.array(*tables)
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_tables: int = 6,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Approximate top-k: candidates = union over L hash tables of the
+    query's bucket in each table; exact cosine re-rank on candidates only.
+
+    At scale the corpus shuffles on (tbl, sig) — each query probes
+    L buckets (~L·N/2^planes vectors) instead of scanning N.
+    """
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(lsh_table_signatures(F.col(vec_col), num_tables, planes_per_table)).alias("_t"),
+    ).select("neighbor_id", "_v", F.col("_t.tbl").alias("_tbl"), F.col("_t.sig").alias("_sig"))
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).alias("_qv"),
+        F.explode(
+            lsh_table_signatures(F.col(query_vec_col), num_tables, planes_per_table)
+        ).alias("_t"),
+    ).select(query_id_col, "_qv", F.col("_t.tbl").alias("_tbl"), F.col("_t.sig").alias("_sig"))
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, ["_tbl", "_sig"])
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_v")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cos", 4).alias("cos_r"), "rk")
+    )
+
+
+def cosine_topk_numpy(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched NumPy matmul (mapInPandas).
+
+    The builtins version (``cosine_topk``) evaluates a higher-order
+    aggregate per (query, vector) pair — allocation-bound. This path
+    ships the (small) query matrix to every task and does one
+    ``corpus_batch @ Q.T`` per Arrow batch: the per-pair cost drops to a
+    fused BLAS op. Two-stage top-k: per-batch top-k, then a global
+    window re-rank over the ≤ k·num_batches survivors per query.
+    This is the north-rule-sanctioned vectorized-UDF escape hatch for
+    ops the JVM expressions can't execute efficiently.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = q_norm @ mat.T  # (Q, batch)
+            kk = min(k + 1, sims.shape[1])  # +1: the query itself may be in-batch
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(np.arange(len(q_ids)), kk)
+            ni = top.ravel()
+            yield pd.DataFrame(
+                {
+                    query_id_col: q_ids[qi],
+                    "neighbor_id": ids[ni],
+                    "cos": sims[qi, ni],
+                }
+            )
+
+    partials = vectors.select(id_col, vec_col).mapInPandas(_score, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        partials.where(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cos", 4).alias("cos_r"), "rk")
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.30,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold) within a block."""
+    base = vectors.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    left = base.select("_blk", F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    right = base.select("_blk", F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    return (
+        left.join(right, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+    )

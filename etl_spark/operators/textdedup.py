@@ -1,0 +1,240 @@
+"""Document deduplication operators for training-data pipelines.
+
+Spark-first implementations of the standard near-dup stack over a
+``documents(doc_id, text, ...)`` table:
+
+  * exact dedup         — hash groupBy (see queries.doc_exact_dedup)
+  * MinHash + LSH       — shingle → minhash signature → banded buckets →
+                          candidate-pair join → exact-Jaccard verify
+  * SimHash             — per-token bit votes → sign bits → equal-signature
+                          grouping
+  * n-gram Jaccard      — character-shingle Jaccard within a blocking key
+
+Everything is built from JVM-side ``pyspark.sql.functions`` higher-order
+array functions (no UDFs at all — the hot path stays in whole-stage
+codegen), and every hash is an ``md5`` hex string so DuckDB can run a
+bit-identical oracle. Lexicographic MIN over md5 hex strings is a
+uniform min-hash: md5 is uniform on [0,16^32) and the hex encoding is
+order-preserving.
+
+Scale notes (the 100 TB story):
+  * shingling/minhashing is embarrassingly parallel per document — no
+    shuffle until the LSH band explode;
+  * the LSH self-join shuffles (band, bucket) pairs, NOT documents —
+    band buckets are the classic way to keep the candidate join sparse;
+    candidate verification touches only bucket-colliding pairs;
+  * a bucket containing B docs yields B(B-1)/2 candidates — the
+    ``max_bucket`` guard drops degenerate buckets (boilerplate/empty
+    docs) exactly like production dedup pipelines cap hot buckets.
+
+Reference analogue: the reference's only dedup is event-fingerprint
+row_number (W1, /root/reference/etl/dags/user_history/include/load/
+modules/mod_load_data_get_data.sql:10-32); document near-dup is part of
+the beyond-reference training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def tokens(col) -> "F.Column":
+    """Whitespace tokens of lowercased, trimmed text."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def word_shingles(col, k: int = 3) -> "F.Column":
+    """Distinct k-word shingles (space-joined) of a text column."""
+    toks = tokens(col)
+    n = F.size(toks)
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(sh)
+
+
+def char_shingles(col, n: int = 5) -> "F.Column":
+    """Distinct character n-grams of lowercased text."""
+    s = F.lower(F.trim(col))
+    ln = F.length(s)
+    sh = F.when(
+        ln >= n,
+        F.transform(F.sequence(F.lit(1), ln - n + 1), lambda i: F.substring(s, i, n)),
+    ).otherwise(F.array(s))
+    return F.array_distinct(sh)
+
+
+def minhash_signature(shingles, num_hashes: int = 16) -> "F.Column":
+    """MinHash signature: per permutation h, the lexicographic min of
+    md5(h || '|' || shingle) over the document's shingles."""
+    def _minhash(h: int):
+        # factory closure (not a defaulted lambda arg: a 2-arg lambda would
+        # receive the array index as its second argument)
+        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{h}|"), s))))
+
+    return F.array(*[_minhash(h) for h in range(num_hashes)])
+
+
+def lsh_bands(sig, num_bands: int = 4, rows_per_band: int = 4) -> "F.Column":
+    """Band buckets: md5 of each band's concatenated signature rows.
+    Returns array of (band_idx, bucket) structs for exploding."""
+    bands = []
+    for b in range(num_bands):
+        rows = [F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *rows)).alias("bucket"),
+            )
+        )
+    return F.array(*bands)
+
+
+def jaccard(a, b) -> "F.Column":
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / union
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
+
+    Plan: per-doc signature (narrow) → explode bands (num_bands rows/doc)
+    → shuffle on (band, bucket) → within-bucket self-join (candidate
+    pairs only) → exact Jaccard verify ≥ threshold. Output one row per
+    unordered pair (a < b) with the verified Jaccard.
+    """
+    from pyspark.sql import Window
+
+    rows_per_band = num_hashes // num_bands
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), k).alias("_sh"),
+    )
+    # Plan hygiene: signatures are expensive (num_hashes md5 passes over
+    # the shingle set); keep the exploded stream NARROW (id + band +
+    # bucket only — no shingle arrays through the shuffles), cap buckets
+    # with a single window count (one shuffle, no second aggregation
+    # branch re-evaluating the signatures), and re-attach shingles by id
+    # only for the surviving candidate pairs.
+    banded = base.select(
+        "_id",
+        F.explode(
+            lsh_bands(minhash_signature(F.col("_sh"), num_hashes), num_bands, rows_per_band)
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    wb = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .where(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+    left = banded.select("band", "bucket", F.col("_id").alias("doc_a"))
+    right = banded.select("band", "bucket", F.col("_id").alias("doc_b"))
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = (
+        cand.join(base.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a")), "doc_a")
+        .join(base.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b")), "doc_b")
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash_bits(col, num_bits: int = 16) -> "F.Column":
+    """SimHash as a bit string: per bit j, sum ±1 votes over the document's
+    distinct tokens (vote = high bit of the j-th hex digit of md5(token));
+    bit j is 1 when the vote sum is positive."""
+    toks = F.array_distinct(tokens(col))
+    bits = []
+    for j in range(num_bits):
+        # vote per token: +1 if the j-th hex digit of md5(token) has its
+        # high bit set (digit value >= 8), else -1; aggregate over tokens
+        votes = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.instr(F.lit(HEX), F.substring(F.md5(t), j + 1, 1)) - 1 >= 8, 1
+            ).otherwise(-1),
+        )
+        bits.append(F.when(votes > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def simhash_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_bits: int = 16
+) -> DataFrame:
+    """Docs grouped by identical SimHash signature (candidate dup groups)."""
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"), simhash_bits(F.col(text_col), num_bits).alias("simhash")
+    )
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "source",
+    n: int = 5,
+    threshold: float = 0.5,
+    length_bucket: int = 200,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs within a blocking key.
+
+    Blocks on (block_col, length bucket): near-dups have similar length,
+    so bucketing trimmed length by ``length_bucket`` chars cuts the
+    pairwise blow-up by ~the number of buckets while keeping real dups
+    co-blocked (classic blocked pairwise comparison — at scale the block
+    is any cheap pre-cluster: source, language, length, an LSH bucket).
+    """
+    blk = F.concat_ws(
+        "#",
+        F.col(block_col),
+        F.floor(F.length(F.trim(F.col(text_col))) / length_bucket).cast("string"),
+    )
+    base = docs.select(
+        blk.alias("_blk"),
+        F.col(id_col).alias("_id"),
+        char_shingles(F.col(text_col), n).alias("_sh"),
+    )
+    left = base.select("_blk", F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
+    right = base.select("_blk", F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
+    return (
+        left.join(right, "_blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )

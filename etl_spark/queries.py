@@ -619,3 +619,9 @@ def sim_cosine_topk(spark, sf_dir):
         .where(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_r"), "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# extension registries (import side effect: they register into QUERIES/ORACLES)
+
+from . import queries_corpus, queries_ext  # noqa: E402,F401

@@ -1,0 +1,307 @@
+"""Training-data pipeline queries: dedup family, similarity search,
+text analysis, multimodal plumbing — each Spark implementation paired
+with a value-level DuckDB oracle (all hashing is md5-hex, identical in
+both engines).
+
+Registered into the same registry as etl_spark.queries (the driver's
+queries()/oracle_sql() contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.multimodal import docs_as_media, extract_features
+from .operators.similarity import (
+    cosine_topk_numpy,
+    cosine_topk,
+    embedding_near_dups,
+    lsh_cosine_topk,
+)
+from .operators.textdedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_groups
+from .operators.textstats import doc_profile
+from .queries import _t, register
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup (shingle → signature → band buckets → verify)
+
+_MINHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), base AS (
+  SELECT id, list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM toks
+), sigs AS (
+  SELECT id, sh,
+         list_transform(range(0, 16),
+           h -> list_min(list_transform(sh,
+                s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sig
+  FROM base
+), bands AS (
+  SELECT id, sh,
+         list_transform(range(0, 4),
+           b -> struct_pack(band := b,
+                bucket := md5(sig[b*4+1] || '|' || sig[b*4+2] || '|'
+                           || sig[b*4+3] || '|' || sig[b*4+4]))) AS bl
+  FROM sigs
+), banded AS (
+  SELECT id, sh, u.band AS band, u.bucket AS bucket
+  FROM (SELECT id, sh, UNNEST(bl) AS u FROM bands)
+), big AS (
+  SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) > 50
+), kept AS (
+  SELECT banded.* FROM banded
+  ANTI JOIN big ON banded.band = big.band AND banded.bucket = big.bucket
+), cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM kept a JOIN kept b USING (band, bucket)
+  WHERE a.id < b.id
+), pairs AS (
+  SELECT DISTINCT ON (doc_a, doc_b) doc_a, doc_b,
+         CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+           / len(list_distinct(list_concat(sh_a, sh_b))) AS j
+  FROM cand
+)
+SELECT doc_a, doc_b, round(j, 4) AS jaccard
+FROM pairs WHERE j >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# SimHash dup groups
+
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+  FROM documents
+), sigs AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(0, 16), j ->
+           CASE WHEN list_sum(list_transform(t, tk ->
+                  CASE WHEN strpos('0123456789abcdef',
+                                   substr(md5(tk), j + 1, 1)) >= 9
+                       THEN 1 ELSE -1 END)) > 0
+                THEN '1' ELSE '0' END), '') AS simhash
+  FROM toks
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM sigs GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark, sf_dir):
+    return simhash_groups(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Character n-gram Jaccard near-dup within a blocking key
+
+_NGRAM_ORACLE = r"""
+WITH base AS (
+  SELECT source || '#' || CAST(CAST(floor(length(trim(text)) / 200) AS BIGINT)
+                               AS VARCHAR) AS blk,
+         doc_id AS id,
+         list_distinct(
+           CASE WHEN length(lower(trim(text))) >= 5
+                THEN list_transform(range(1, length(lower(trim(text))) - 3),
+                                    i -> substr(lower(trim(text)), i, 5))
+                ELSE [lower(trim(text))] END) AS sh
+  FROM documents
+)
+SELECT a.id AS doc_a, b.id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (semantic dedup), blocked by label
+
+_EMB_DUP_ORACLE = """
+WITH v AS (
+  SELECT label AS blk, vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+              * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_r
+FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e))
+       * sqrt(list_dot_product(b.e, b.e))) >= 0.30
+"""
+
+
+@register("sim_embedding_near_dup", _EMB_DUP_ORACLE)
+def sim_embedding_near_dup(spark, sf_dir):
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed approximate top-k (the ANN scale path; exact baseline is
+# sim_cosine_topk in etl_spark.queries)
+
+_LSH_TOPK_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sigl AS (
+  SELECT vec_id, e,
+         list_transform(range(0, 6), t -> struct_pack(
+           tbl := t,
+           sig := array_to_string(list_transform(range(0, 4), p ->
+             CASE WHEN list_sum(list_transform(range(0, len(e)), d ->
+                    e[d+1] * (CAST(strpos('0123456789abcdef',
+                         substr(md5('p' || CAST(t*4 + p AS VARCHAR) || '|'
+                                    || CAST(d AS VARCHAR)), 1, 1)) - 1
+                         AS DOUBLE) - 7.5))) > 0
+                  THEN '1' ELSE '0' END), ''))) AS tl
+  FROM v
+), sig AS (
+  SELECT vec_id, e, u.tbl AS tbl, u.sig AS s
+  FROM (SELECT vec_id, e, UNNEST(tl) AS u FROM sigl)
+), probes AS (
+  SELECT vec_id AS query_id, e AS qe, tbl, s FROM sig WHERE vec_id < 10
+), cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, p.qe, c.e
+  FROM probes p JOIN sig c ON p.tbl = c.tbl AND p.s = c.s
+  WHERE c.vec_id <> p.query_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qe, e)
+           / (sqrt(list_dot_product(qe, qe))
+            * sqrt(list_dot_product(e, e))) AS cos
+  FROM cand
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos_r, rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+@register("sim_lsh_topk", _LSH_TOPK_ORACLE)
+def sim_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return lsh_cosine_topk(e, probes)
+
+
+@register("sim_brute_topk_large")
+def sim_brute_topk_large(spark, sf_dir):
+    """Rows-only scale probe: brute-force top-k over a 500-query probe set
+    (the quadratic baseline the LSH variant avoids)."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 500).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return cosine_topk(e, probes, k=3)
+
+
+# Same oracle as sim_cosine_topk in etl_spark.queries: identical logical
+# result, different physical path (Arrow-batched NumPy matmul instead of
+# per-pair higher-order aggregates).
+from .queries import ORACLES as _CORE_ORACLES  # noqa: E402
+
+
+@register("sim_numpy_topk", _CORE_ORACLES["sim_cosine_topk"])
+def sim_numpy_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return cosine_topk_numpy(e, probes, k=5)
+
+
+# --------------------------------------------------------------------------
+# Text analysis: language-ID + quality + token count profile
+
+_PROFILE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS s,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, s, toks,
+         CAST(len(list_filter(toks, x -> list_contains(
+           ['the','a','of','and','to','in','is','it','on','for'], x))) AS DOUBLE)
+           / len(toks) AS r_en,
+         CAST(len(list_filter(toks, x -> list_contains(
+           ['el','la','de','y','que','en','un','es','se','por'], x))) AS DOUBLE)
+           / len(toks) AS r_es,
+         CAST(len(list_filter(toks, x -> list_contains(
+           ['der','die','das','und','zu','in','den','von','ist','mit'], x))) AS DOUBLE)
+           / len(toks) AS r_de,
+         CAST(len(list_filter(toks, x -> list_contains(
+           ['le','la','de','et','un','en','est','que','pour','dans'], x))) AS DOUBLE)
+           / len(toks) AS r_fr,
+         length(regexp_replace(lower(s), '[^a-z]', '', 'g')) AS alpha,
+         length(s) AS nch, len(toks) AS n_toks
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN r_en >= r_es AND r_en >= r_de AND r_en >= r_fr AND r_en > 0 THEN 'en'
+            WHEN r_es >= r_de AND r_es >= r_fr AND r_es > 0 THEN 'es'
+            WHEN r_de >= r_fr AND r_de > 0 THEN 'de'
+            WHEN r_fr > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang,
+       round((least(nch / 500.0, 1.0)
+            + CAST(alpha AS DOUBLE) / nch
+            + least(r_en * 3.0, 1.0)
+            + greatest(0.0, 1.0 - abs(CAST(alpha AS DOUBLE) / n_toks - 6.0) / 6.0)
+             ) / 4.0, 4) AS quality,
+       len(regexp_extract_all(lower(text),
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+FROM scored JOIN documents USING (doc_id)
+"""
+
+
+@register("text_profile", _PROFILE_ORACLE)
+def text_profile(spark, sf_dir):
+    return doc_profile(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing: binary payload + mapInPandas feature extraction.
+# The decode is a deterministic stub (no codecs in this image), so even
+# this path gets a value-level oracle.
+
+_MEDIA_ORACLE = """
+SELECT doc_id AS media_id,
+       'fake/raw' AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       16 + octet_length(encode(text)) % 640 AS width,
+       16 + (octet_length(encode(text)) * 31) % 480 AS height,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+@register("media_features", _MEDIA_ORACLE)
+def media_features(spark, sf_dir):
+    media = docs_as_media(_t(spark, sf_dir, "documents"))
+    return extract_features(media)
