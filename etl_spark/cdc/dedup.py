@@ -65,6 +65,62 @@ def lww_dedup(
     )
 
 
+# 2^64 — shift for packing (op_ts_us, lsn) into one DECIMAL(38,0).
+# Max timestamp micros (year 9999) ≈ 2.9e17; 2.9e17 * 2^64 ≈ 5.4e36 < 1e38,
+# so the packed order fits DECIMAL(38,0) with room to spare.
+_PACK_SHIFT = 18446744073709551616
+
+
+def pack_order(op_ts, lsn) -> "F.Column":
+    """(op_ts, lsn) → one DECIMAL(38,0) preserving lexicographic order.
+
+    Requires lsn ∈ [0, 2^63) — true for binlog/WAL sequence numbers.
+    A fixed-width order key is what lets the max() aggregate run as a
+    HashAggregate: max over a struct containing strings has an immutable
+    aggregation buffer, which silently downgrades the whole dedup to
+    SortAggregate (full sort of every batch, map AND reduce side).
+    """
+    lsn = F.col(lsn) if isinstance(lsn, str) else lsn
+    # 2^64 exceeds a Java long — ship the shift as a SQL decimal literal
+    shift = F.expr(f"CAST({_PACK_SHIFT} AS DECIMAL(38,0))")
+    return F.unix_micros(op_ts).cast("decimal(38,0)") * shift + lsn
+
+
+def lww_dedup_join(
+    changes: DataFrame,
+    key: list[str] | None = None,
+    order: list[str] | None = None,
+    extra_aggs: dict[str, "F.Column"] | None = None,
+) -> DataFrame:
+    """One winner per key — hash-only two-phase strategy (no sorts).
+
+    Phase 1: ``max(packed_order)`` per key — a NARROW HashAggregate
+    (fixed-width decimal buffer, map-side partial combine, tiny shuffle).
+    Phase 2: join the winners' (key, packed) back against the batch to
+    recover the payload, then collapse bit-identical duplicates (same
+    key AND same (op_ts, lsn) can only be verbatim re-sends) with a
+    pure-grouping HashAggregate (grouping keys may be var-length; only
+    aggregation buffers must be fixed-width).
+
+    Compared to ``lww_dedup`` (max-struct), this trades one extra narrow
+    shuffle for eliminating BOTH full-row sorts — wins when rows are wide
+    (transcript text) and dup factor is modest.
+    """
+    key = key or KEY
+    order = order or ORDER
+    assert order == ORDER, "join strategy packs (op_ts, lsn) specifically"
+    packed = changes.withColumn("_ord", pack_order(F.col("op_ts"), F.col("lsn")))
+    aggs = [F.max("_ord").alias("_win")] + [
+        expr.alias(name) for name, expr in (extra_aggs or {}).items()
+    ]
+    wins = packed.groupBy(*key).agg(*aggs)
+    joined = packed.join(wins, key, "inner").where(F.col("_ord") == F.col("_win"))
+    # verbatim duplicates: bit-identical rows — dedup on ALL columns, which
+    # is a pure-grouping HashAggregate (a subset-dropDuplicates would add
+    # First() buffers over strings and fall back to SortAggregate)
+    return joined.drop("_ord", "_win").dropDuplicates()
+
+
 def lww_dedup_window(
     changes: DataFrame,
     key: list[str] | None = None,

@@ -112,10 +112,16 @@ def test_deletes_tombstone_and_late_updates_lose(spark, tmp_path):
 
 
 def test_dedup_strategies_agree(spark):
+    """All three physical strategies (max-struct agg, salted window,
+    pack+join) produce identical winners under heavy key skew."""
+    from etl_spark.cdc.dedup import lww_dedup_join
+
     changes = gen_changes(spark, 10_000, n_convs=50, n_epochs=2)  # heavy skew
     a = lww_dedup(changes).toPandas()
     b = lww_dedup_window(changes).toPandas()
+    c = lww_dedup_join(changes).toPandas()
     assert_pdf_equal(a, b, ["conv_id", "turn_idx"])
+    assert_pdf_equal(a, c, ["conv_id", "turn_idx"])
 
 
 def test_datagen_deterministic_across_parallelism(spark):
