@@ -63,6 +63,9 @@ class ApplyStats:
     lsn_min: int | None = None
     lsn_max: int | None = None
     op_ts_max: str | None = None
+    late_rows: int = 0
+    max_lag_s: float | None = None
+    watermark: str | None = None
     wall_s: float = 0.0
 
     @property
@@ -85,6 +88,7 @@ def apply_batch(
         return ApplyStats(epoch=epoch, skipped=True, wall_s=time.time() - t0)
 
     stats = ApplyStats(epoch=epoch)
+    prev_wm = table.watermark(source)  # events below this are LATE (flagged, kept)
 
     # 1. schema evolution: widen the table so this batch's payload fits
     payload_struct = changes.drop("op", *ORDER).schema
@@ -94,6 +98,11 @@ def apply_batch(
 
     # 2. LWW-dedup the batch (hash agg, skew-safe), bucket the winners, and
     #    piggy-back lineage offsets on the same single scan of the log
+    late = (
+        F.when(F.col("op_ts") < F.to_timestamp(F.lit(prev_wm)), 1).otherwise(0)
+        if prev_wm
+        else F.lit(0)
+    )
     winners = lww_dedup(
         changes,
         key=table.key_cols,
@@ -101,6 +110,8 @@ def apply_batch(
             "_cnt": F.count(F.lit(1)),
             "_lsn_min": F.min("lsn"),
             "_lsn_max": F.max("lsn"),
+            "_op_ts_min": F.min("op_ts"),
+            "_late_cnt": F.sum(late),
         },
     ).withColumn("_bucket", table.bucket_expr(F.col(table.bucket_key)))
 
@@ -117,7 +128,9 @@ def apply_batch(
         F.sum("_cnt").alias("rows_in"),
         F.min("_lsn_min").alias("lsn_min"),
         F.max("_lsn_max").alias("lsn_max"),
+        F.min("_op_ts_min").alias("op_ts_min"),
         F.max("op_ts").alias("op_ts_max"),
+        F.sum("_late_cnt").alias("late_rows"),
         F.collect_set("_bucket").alias("buckets"),
     )
 
@@ -142,13 +155,22 @@ def apply_batch(
     stats.lsn_min = m["lsn_min"]
     stats.lsn_max = m["lsn_max"]
     stats.op_ts_max = str(m["op_ts_max"]) if m["op_ts_max"] is not None else None
+    stats.late_rows = int(m["late_rows"] or 0)
+    if m["op_ts_max"] is not None and m["op_ts_min"] is not None:
+        stats.max_lag_s = round((m["op_ts_max"] - m["op_ts_min"]).total_seconds(), 3)
     stats.snapshot_id = table.commit_delta(
         epoch,
         source,
         rel if stats.dirty_buckets else "",
         stats.dirty_buckets,
-        stats={"winners": stats.winners, "schema_changes": stats.schema_changes},
+        stats={
+            "winners": stats.winners,
+            "schema_changes": stats.schema_changes,
+            "op_ts_max": stats.op_ts_max,
+            "late_rows": stats.late_rows,
+        },
     )
+    stats.watermark = table.watermark(source)
 
     # 4. bounded read amplification: compact buckets that crossed the
     #    delta-count threshold (separate maintenance commit, crash-safe)

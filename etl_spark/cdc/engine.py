@@ -115,6 +115,9 @@ class CdcEngine:
                 "lsn_min": stats.lsn_min,
                 "lsn_max": stats.lsn_max,
                 "op_ts_max": stats.op_ts_max,
+                "late_rows": stats.late_rows,
+                "max_lag_s": stats.max_lag_s,
+                "watermark": stats.watermark,
                 "winners": stats.winners,
                 "dirty_buckets": stats.dirty_buckets,
                 "compacted_buckets": stats.compacted_buckets,

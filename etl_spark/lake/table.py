@@ -169,6 +169,13 @@ class LakeTable:
     def committed_epoch(self, source: str = "default") -> int:
         return int(self._meta["committed_epochs"].get(source, -1))
 
+    def watermark(self, source: str = "default") -> str | None:
+        """High-water mark: max op_ts committed for this source (ISO
+        string, monotone). Events below it in later batches are LATE —
+        flagged in lineage, never dropped (reference semantics:
+        /root/reference/etl/dags/user_history/include/load/load_data.sql:10)."""
+        return self._meta.get("watermarks", {}).get(source)
+
     def delta_counts(self) -> dict[int, int]:
         return {int(b): len(e["deltas"]) for b, e in self._meta["files"].items()}
 
@@ -319,6 +326,12 @@ class LakeTable:
         )
         meta["current_snapshot_id"] = sid
         meta["committed_epochs"][source] = max(epoch, self.committed_epoch(source))
+        new_wm = (stats or {}).get("op_ts_max")
+        if new_wm is not None:
+            prev = self.watermark(source)
+            meta.setdefault("watermarks", {})[source] = (
+                max(prev, str(new_wm)) if prev else str(new_wm)
+            )
         self._commit_meta(meta)
         return sid
 

@@ -111,6 +111,55 @@ def test_deletes_tombstone_and_late_updates_lose(spark, tmp_path):
     assert final == {("c2", 1): "update-before-insert"}
 
 
+def test_widen_int_to_long_mid_stream(spark, tmp_path):
+    """Schema evolution: a later batch sends turn_idx as LONG — the table
+    widens int→long (field ID preserved), old files still read correctly
+    (schema-on-read alignment), and narrower late batches keep fitting."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    e0 = spark.createDataFrame(
+        [("I", "c1", 0, "user", "hi", None, t("2025-01-01 00:00:00"),
+          t("2025-01-01 00:00:01"), 1)],
+        schema=CHANGE_SCHEMA,
+    )
+    apply_batch(eng.table, e0, epoch=0)
+    fid_before = {f.name: f.id for f in eng.table.schema().fields}
+
+    wide = T.StructType(
+        [f if f.name != "turn_idx" else T.StructField("turn_idx", T.LongType(), False)
+         for f in CHANGE_SCHEMA.fields]
+    )
+    e1 = spark.createDataFrame(
+        [("I", "c2", 2**40, "assistant", "big turn index", None,
+          t("2025-01-01 00:01:00"), t("2025-01-01 00:01:01"), 2)],
+        schema=wide,
+    )
+    stats = apply_batch(eng.table, e1, epoch=1)
+    assert any("widen turn_idx: int -> bigint" in c for c in stats.schema_changes)
+    fid_after = {f.name: f.id for f in eng.table.schema().fields}
+    assert fid_after["turn_idx"] == fid_before["turn_idx"]  # ID-stable widen
+
+    final = {(r.conv_id, r.turn_idx) for r in eng.table.snapshot_df().collect()}
+    assert final == {("c1", 0), ("c2", 2**40)}
+
+    # a narrower (int) batch after the widen still applies cleanly
+    e2 = spark.createDataFrame(
+        [("I", "c3", 3, "user", "narrow again", None, t("2025-01-01 00:02:00"),
+          t("2025-01-01 00:02:01"), 3)],
+        schema=CHANGE_SCHEMA,
+    )
+    s2 = apply_batch(eng.table, e2, epoch=2)
+    assert s2.schema_changes == []
+    assert eng.table.snapshot_df().count() == 3
+
+
 def test_dedup_strategies_agree(spark):
     """All three physical strategies (max-struct agg, salted window,
     pack+join) produce identical winners under heavy key skew."""
@@ -139,3 +188,12 @@ def test_lineage_recorded(spark, change_log, tmp_path):
     assert all(r["snapshot_id"] is not None for r in rows)
     total = sum(r["rows_in"] for r in rows)
     assert total == N_EVENTS
+    # watermark is monotone non-decreasing across epochs and persisted
+    wms = [r["watermark"] for r in rows]
+    assert all(w is not None for w in wms)
+    assert wms == sorted(wms)
+    assert eng.table.watermark() == wms[-1]
+    # the generator emits ~5% late events; epochs after the first must
+    # flag some (flagged in lineage, never dropped from the merge)
+    assert sum(r["late_rows"] for r in rows[1:]) > 0
+    assert all(r["max_lag_s"] is not None and r["max_lag_s"] >= 0 for r in rows)

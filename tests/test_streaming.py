@@ -70,3 +70,29 @@ def test_stream_then_restart_exactly_once(spark, stream_log, tmp_path):
     new_rows = eng2.lineage.rows()[n_batches_first:]
     applied = [r for r in new_rows if not r["skipped"]]
     assert 1 <= len(applied) <= 2  # just the late epoch's 2 files
+
+
+def test_windowed_activity_watermark(spark, stream_log, tmp_path):
+    """Event-time tumbling windows with a watermark: totals across all
+    finalized+running windows equal the raw change count (nothing lost),
+    and op-type splits match a batch groupBy."""
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+    from etl_spark.streaming import windowed_activity
+
+    agg = windowed_activity(spark, stream_log, CHANGE_SCHEMA, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("win_act")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM win_act").toPandas()
+    batch = spark.read.parquet(f"{stream_log}/epoch=*")
+    assert got["n_changes"].sum() == batch.count()
+    by_op = {r["op"]: r["count"] for r in batch.groupBy("op").count().collect()}
+    assert got["n_inserts"].sum() == by_op.get("I", 0)
+    assert got["n_updates"].sum() == by_op.get("U", 0)
+    assert got["n_deletes"].sum() == by_op.get("D", 0)
+    assert (got["window_end"] - got["window_start"]).nunique() == 1

@@ -1,0 +1,81 @@
+"""Derived-transform layer: CDC replay → snapshot → enrich/aggregate,
+verified against DuckDB computing the same transforms over the oracle
+final state (end-to-end: the derived numbers are right only if the
+upsert, dedup, tombstones, and schema evolution were all right)."""
+
+import duckdb
+import pytest
+
+from etl_spark.cdc.engine import CdcEngine
+from etl_spark.datagen import write_change_log
+from etl_spark.transforms import conversation_summary, daily_activity, first_turns
+from tests.conftest import assert_pdf_equal
+
+N_EVENTS = 12_000
+
+
+@pytest.fixture(scope="module")
+def replayed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("derive")
+    log = str(root / "log")
+    write_change_log(spark, log, N_EVENTS, n_convs=150, n_epochs=3)
+    eng = CdcEngine(spark, str(root / "tbl"), num_buckets=8)
+    eng.replay(log)
+    return eng, log
+
+
+def _oracle(log, sql):
+    state = f"""
+      WITH ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                  ORDER BY op_ts DESC, lsn DESC) AS rn
+        FROM read_parquet('{log}/epoch=*/*.parquet')
+      ), t AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+      )
+    """
+    return duckdb.sql(state + sql).df()
+
+
+def test_conversation_summary(spark, replayed):
+    eng, log = replayed
+    got = conversation_summary(eng.table.snapshot_df()).toPandas()
+    want = _oracle(log, """
+      SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx,
+             min(ts) AS first_ts, max(ts) AS last_ts,
+             sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+             sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+             count(DISTINCT tool) AS n_distinct_tools,
+             sum(length(text)) AS total_chars
+      FROM t GROUP BY conv_id
+    """)
+    assert_pdf_equal(got, want, ["conv_id"])
+
+
+def test_first_turns(spark, replayed):
+    eng, log = replayed
+    got = first_turns(eng.table.snapshot_df()).toPandas()
+    want = _oracle(log, """
+      SELECT conv_id, turn_idx, role, tool, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id
+                 ORDER BY (tool IS NULL), ts, turn_idx) AS rn2
+        FROM t
+      ) WHERE rn2 = 1
+    """)
+    assert_pdf_equal(got, want, ["conv_id"])
+
+
+def test_daily_activity(spark, replayed):
+    eng, log = replayed
+    got = daily_activity(eng.table.snapshot_df()).toPandas()
+    got["day_"] = got["day_"].astype(str)
+    want = _oracle(log, """
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_,
+             count(DISTINCT conv_id) AS active_convs,
+             count(*) AS n_turns,
+             round(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 4) AS tool_call_ratio
+      FROM t WHERE ts IS NOT NULL GROUP BY 1
+    """)
+    assert_pdf_equal(got, want, ["day_"])
