@@ -1,0 +1,98 @@
+"""Maintenance operations on a LakeTable: GDPR-style deletes and
+tombstone retention.
+
+Reference analogues: the GDPR delete-request transaction
+(/root/reference/etl/dags/user_history/include/gdpr/
+gdpr_delete_request.sql:6-68 — semi-join targets, transactional delete)
+and delete-inactive (gdpr_delete_inactive.sql:7-73). In the engine both
+become ordinary delta commits: idempotent (epoch-fenced per request id),
+atomic (one metadata swap), and replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..lake.table import LakeTable
+
+# A delete request must beat every change already applied, while still
+# being overridable by genuinely newer traffic (op_ts above the current
+# watermark). lsn 2^62 wins every tie at the same op_ts.
+_REQUEST_LSN = 1 << 62
+
+
+def delete_conversations(
+    table: LakeTable,
+    conv_ids: list[str],
+    request_id: int,
+    source: str = "gdpr",
+) -> int | None:
+    """Tombstone every turn of the given conversations (GDPR erasure).
+
+    Exactly-once per (source, request_id): replaying a crashed request is
+    fenced exactly like a CDC epoch. Only the buckets holding the target
+    conversations are read (bucket pruning) and only tombstone rows are
+    written (O(deleted keys), not O(table)). The tombstones carry
+    ``op_ts = current watermark`` and a maximal lsn, so they defeat all
+    already-applied changes; post-deletion traffic with newer op_ts
+    re-creates keys (CDC semantics — the stream owns the truth).
+    Returns the snapshot id, or None if fenced (already applied).
+    """
+    table.refresh()
+    if request_id <= table.committed_epoch(source):
+        return None
+    spark = table.spark
+    ids = spark.createDataFrame([(c,) for c in conv_ids], ["conv_id"])
+    buckets = sorted(
+        r["_b"] for r in ids.select(table.bucket_expr(F.col("conv_id")).alias("_b"))
+        .distinct().collect()
+    )
+    wm = table.watermark() or "1970-01-01 00:00:00"
+    current = table.read_buckets(buckets, with_internal=True, fold=True)
+    doomed = current.join(F.broadcast(ids), "conv_id", "left_semi")
+    schema = table.schema()
+    key_cols = set(table.key_cols)
+    tomb = doomed.select(
+        *[
+            F.col(f.name) if f.name in key_cols
+            else F.lit(None).cast(f.type).alias(f.name)
+            for f in schema.fields
+        ],
+        F.to_timestamp(F.lit(wm)).alias("_op_ts"),
+        F.lit(_REQUEST_LSN).cast("long").alias("_lsn"),
+        F.lit(True).alias("_tombstone"),
+        F.col("_bucket"),
+    )
+    next_sid = table.current_snapshot_id + 1
+    rel = table.write_files(tomb, f"data/delta-{next_sid:08d}")
+    return table.commit_delta(
+        request_id, source, rel, buckets,
+        stats={"kind": "gdpr_delete", "conv_ids": len(conv_ids)},
+    )
+
+
+def expunge_tombstones(table: LakeTable, before_op_ts: str) -> int | None:
+    """Physically remove tombstones older than ``before_op_ts`` (retention
+    horizon). Safe once no in-flight change below the horizon can still
+    arrive (operator-chosen, e.g. watermark minus the max allowed
+    lateness). Rewrites only buckets that actually hold old tombstones;
+    GDPR-wise this is the point where erased data stops existing on disk.
+    """
+    table.refresh()
+    folded = table.read_buckets(None, with_internal=True, fold=True)
+    old_tomb = F.coalesce(F.col("_tombstone"), F.lit(False)) & (
+        F.col("_op_ts") < F.to_timestamp(F.lit(before_op_ts))
+    )
+    dirty = sorted(
+        r["_bucket"]
+        for r in folded.where(old_tomb).select("_bucket").distinct().collect()
+    )
+    if not dirty:
+        return None
+    kept = table.read_buckets(dirty, with_internal=True, fold=True).where(~old_tomb)
+    sid = table.current_snapshot_id + 1
+    rel = f"data/base-{sid:08d}"
+    table.write_files(kept, rel)
+    return table.commit_rebase(
+        dirty, rel, kind="expunge", extra={"before_op_ts": before_op_ts}
+    )

@@ -89,6 +89,10 @@ class TableSchema:
         changes: list[str] = []
         for inc in incoming.fields:
             t = inc.dataType.simpleString()
+            if t == "void":
+                # an all-NULL column (createDataFrame inference) fits any
+                # existing type and carries no type to add a new column with
+                continue
             cur = by_name.get(inc.name)
             if cur is None:
                 new_fields.append(Field(next_id, inc.name, t, True))

@@ -354,20 +354,33 @@ class LakeTable:
         sid = self.current_snapshot_id + 1
         rel = f"data/base-{sid:08d}"
         self.write_files(folded, rel)
+        return self.commit_rebase(buckets, rel, kind="compaction")
 
+    def commit_rebase(
+        self,
+        buckets: list[int],
+        rel_path: str,
+        kind: str = "compaction",
+        extra: dict | None = None,
+    ) -> int:
+        """Publish a maintenance commit: the given buckets' base becomes
+        ``rel_path/_bucket=K`` and their delta lists clear (used by
+        compaction, tombstone expunge, and any future rewrite op)."""
         meta = json.loads(json.dumps(self._meta))
+        sid = meta["current_snapshot_id"] + 1
         sv = meta["current_schema_version"]
         for b in buckets:
             meta["files"][str(int(b))] = {
-                "base": {"path": f"{rel}/_bucket={int(b)}", "schema_version": sv},
+                "base": {"path": f"{rel_path}/_bucket={int(b)}", "schema_version": sv},
                 "deltas": [],
             }
         meta["snapshots"].append(
             {
                 "snapshot_id": sid,
-                "kind": "compaction",
+                "kind": kind,
                 "committed_at": time.time(),
                 "dirty_buckets": sorted(int(b) for b in buckets),
+                **(extra or {}),
             }
         )
         meta["current_snapshot_id"] = sid

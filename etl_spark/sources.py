@@ -1,0 +1,96 @@
+"""External-source ingest surface (SURVEY §2.1 S1/S5/S6).
+
+  * ``read_partitioned_csv``  — hive-partitioned CSV report trees
+    (reference: the AppsFlyer data-locker scan,
+    /root/reference/dataproc-appsflyer/spark_job_data_locker.py:407-417 —
+    ``basePath`` partition discovery, quote/escape options, null token)
+    with the cast-normalization pass done once at ingest
+    (spark_job_data_locker.py:339-379 — P8).
+  * ``ingest_records``        — driver-fetched JSON records (currency
+    API pattern, /root/reference/etl/dags/DAG_get_currencies_data.py:33-56)
+    appended through the exactly-once CDC apply path.
+  * ``ingest_pandas``         — pandas frame via Arrow (store-report
+    pattern, /root/reference/etl/dags/external_sources/stores/itunes/
+    store_itunes.py:100-130), same apply path.
+
+Everything lands through ``cdc.apply.apply_batch``: external sources get
+the same epoch fencing, schema evolution, lineage, and LWW semantics as
+the binlog tail — one sink discipline for the whole engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cdc.apply import ApplyStats, apply_batch
+from .lake.table import LakeTable
+
+
+def read_partitioned_csv(
+    spark: SparkSession,
+    paths: list[str] | str,
+    base_path: str,
+    casts: dict[str, str] | None = None,
+    delimiter: str = ",",
+    null_value: str = "null",
+) -> DataFrame:
+    """Scan a hive-partitioned CSV tree (``dt=.../b=.../part.csv``).
+
+    ``basePath`` keeps partition-column discovery rooted even when only
+    sub-dirs are listed (so ``dt``/``b`` become real columns that prune);
+    ``casts`` normalizes column types once at ingest so every downstream
+    query reads typed data (no per-query cast trees).
+    """
+    df = (
+        spark.read.option("basePath", base_path)
+        .option("delimiter", delimiter)
+        .option("escape", '"')
+        .option("nullValue", null_value)
+        .csv(paths if isinstance(paths, list) else [paths], header=True)
+    )
+    if casts:
+        df = df.withColumns({c: F.col(c).cast(t) for c, t in casts.items() if c in df.columns})
+    return df
+
+
+def _as_changes(df: DataFrame, op_ts_col: str, lsn_col: str) -> DataFrame:
+    out = df.withColumn("op", F.lit("I"))
+    if op_ts_col != "op_ts":
+        out = out.withColumn("op_ts", F.col(op_ts_col))
+    if lsn_col != "lsn":
+        out = out.withColumn("lsn", F.col(lsn_col).cast("long"))
+    return out
+
+
+def ingest_records(
+    spark: SparkSession,
+    table: LakeTable,
+    records: list[dict],
+    epoch: int,
+    source: str,
+    op_ts_col: str = "op_ts",
+    lsn_col: str = "lsn",
+) -> ApplyStats:
+    """Append driver-side records (REST fetch, config pull) exactly-once.
+
+    Records become INSERT changes and run through the standard apply —
+    re-running a crashed ingest with the same (source, epoch) is a no-op.
+    """
+    df = spark.createDataFrame(records)
+    return apply_batch(table, _as_changes(df, op_ts_col, lsn_col), epoch, source=source)
+
+
+def ingest_pandas(
+    spark: SparkSession,
+    table: LakeTable,
+    pdf,
+    epoch: int,
+    source: str,
+    op_ts_col: str = "op_ts",
+    lsn_col: str = "lsn",
+) -> ApplyStats:
+    """Append a pandas frame (report files parsed driver-side) via Arrow,
+    through the same exactly-once apply path."""
+    df = spark.createDataFrame(pdf)
+    return apply_batch(table, _as_changes(df, op_ts_col, lsn_col), epoch, source=source)

@@ -1,0 +1,104 @@
+"""GDPR delete / tombstone retention / external-source ingest."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.cdc.apply import apply_batch
+from etl_spark.cdc.engine import CHANGE_SCHEMA, CdcEngine
+from etl_spark.cdc.maintenance import delete_conversations, expunge_tombstones
+from etl_spark.datagen import gen_changes
+from etl_spark.sources import ingest_pandas, ingest_records, read_partitioned_csv
+
+T = lambda s: dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def loaded(spark, tmp_path):
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    changes = gen_changes(spark, 4_000, n_convs=40, n_epochs=1).drop("epoch")
+    apply_batch(eng.table, changes, epoch=0)
+    return eng
+
+
+def test_gdpr_delete_and_expunge(spark, loaded):
+    eng = loaded
+    before = eng.table.snapshot_df()
+    victims = [r.conv_id for r in before.select("conv_id").distinct().limit(3).collect()]
+    n_victim_rows = before.where(F.col("conv_id").isin(victims)).count()
+    assert n_victim_rows > 0
+
+    sid = delete_conversations(eng.table, victims, request_id=1)
+    assert sid is not None
+    after = eng.table.snapshot_df()
+    assert after.where(F.col("conv_id").isin(victims)).count() == 0
+    assert after.count() == before.count() - n_victim_rows
+
+    # idempotent per request id (replay of a crashed request is fenced)
+    assert delete_conversations(eng.table, victims, request_id=1) is None
+
+    # tombstones still physically present until retention expunge
+    raw = eng.table.read_buckets(None, with_internal=True, fold=True)
+    n_tomb = raw.where(F.coalesce("_tombstone", F.lit(False))).count()
+    assert n_tomb >= n_victim_rows
+
+    assert expunge_tombstones(eng.table, "2100-01-01 00:00:00") is not None
+    raw2 = eng.table.read_buckets(None, with_internal=True, fold=True)
+    assert raw2.where(F.coalesce("_tombstone", F.lit(False))).count() == 0
+    # logical state unchanged by the physical expunge
+    assert eng.table.snapshot_df().count() == after.count()
+
+
+def test_ingest_records_and_pandas(spark, tmp_path):
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    recs = [
+        {"conv_id": "api_1", "turn_idx": 0, "role": "user", "text": "from rest",
+         "tool": None, "ts": T("2025-02-01 00:00:00"),
+         "op_ts": T("2025-02-01 00:00:01"), "lsn": 1},
+        {"conv_id": "api_1", "turn_idx": 1, "role": "assistant", "text": "reply",
+         "tool": "tool_01", "ts": T("2025-02-01 00:00:05"),
+         "op_ts": T("2025-02-01 00:00:06"), "lsn": 2},
+    ]
+    st = ingest_records(spark, eng.table, recs, epoch=0, source="rest")
+    assert st.winners == 2
+    # exactly-once: same (source, epoch) replays as a no-op
+    assert ingest_records(spark, eng.table, recs, epoch=0, source="rest").skipped
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["csv_1"], "turn_idx": [0], "role": ["user"],
+            "text": ["from report"], "tool": [None],
+            "ts": [T("2025-02-02 00:00:00")],
+            "op_ts": [T("2025-02-02 00:00:01")], "lsn": [10],
+        }
+    )
+    ingest_pandas(spark, eng.table, pdf, epoch=0, source="report")
+    final = {(r.conv_id, r.turn_idx) for r in eng.table.snapshot_df().collect()}
+    assert final == {("api_1", 0), ("api_1", 1), ("csv_1", 0)}
+
+
+def test_read_partitioned_csv(spark, tmp_path):
+    base = tmp_path / "reports"
+    for d, b, rows in [
+        ("2025-01-01", 1, [("a", "1", "2.5"), ("b", "null", "3.0")]),
+        ("2025-01-02", 2, [("c", "3", "null")]),
+    ]:
+        p = base / f"dt={d}" / f"b={b}"
+        p.mkdir(parents=True)
+        with open(p / "part.csv", "w") as f:
+            f.write("name,qty,price\n")
+            for r in rows:
+                f.write(",".join(r) + "\n")
+    df = read_partitioned_csv(
+        spark, str(base), str(base), casts={"qty": "bigint", "price": "double"}
+    )
+    assert set(df.columns) == {"name", "qty", "price", "dt", "b"}
+    rows = {r.name: r for r in df.collect()}
+    assert rows["b"].qty is None and rows["c"].price is None  # nullValue honored
+    assert rows["a"].qty == 1 and rows["a"].price == 2.5
+    assert str(rows["c"].dt) == "2025-01-02" and rows["c"].b == 2
+    # partition pruning: dt filter must reach the scan as a partition filter
+    plan = df.where(F.col("dt") == "2025-01-01")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
