@@ -49,6 +49,19 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--table", required=True)
     w.add_argument("--limit", type=int, default=10)
 
+    c = sub.add_parser("compact")
+    c.add_argument("--table", required=True)
+    c.add_argument("--all", action="store_true", help="compact every bucket, not just those past the delta threshold")
+
+    x = sub.add_parser("expunge")
+    x.add_argument("--table", required=True)
+    x.add_argument("--before", required=True, help="drop tombstones with op_ts older than this (retention horizon)")
+
+    d = sub.add_parser("gdpr-delete")
+    d.add_argument("--table", required=True)
+    d.add_argument("--conv-ids", required=True, help="comma-separated conversation ids to erase")
+    d.add_argument("--request-id", type=int, required=True, help="idempotency key; replays are fenced")
+
     args = p.parse_args(argv)
 
     from etl_spark.session import get_spark
@@ -95,6 +108,34 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "table_rows": eng.table.snapshot_df().count(),
             "batches": len(eng.lineage.rows()),
+        }))
+        return 0
+
+    if args.cmd == "compact":
+        eng = CdcEngine(spark, args.table)
+        buckets = list(range(eng.table.num_buckets)) if args.all else None
+        sid = eng.table.compact(buckets)
+        print(json.dumps({"compacted": sid is not None, "snapshot_id": sid}))
+        return 0
+
+    if args.cmd == "expunge":
+        from etl_spark.cdc.maintenance import expunge_tombstones
+
+        eng = CdcEngine(spark, args.table)
+        sid = expunge_tombstones(eng.table, args.before)
+        print(json.dumps({"expunged": sid is not None, "snapshot_id": sid}))
+        return 0
+
+    if args.cmd == "gdpr-delete":
+        from etl_spark.cdc.maintenance import delete_conversations
+
+        eng = CdcEngine(spark, args.table)
+        ids = [s for s in args.conv_ids.split(",") if s]
+        sid = delete_conversations(eng.table, ids, request_id=args.request_id)
+        print(json.dumps({
+            "deleted": sid is not None, "snapshot_id": sid,
+            "conv_ids": len(ids),
+            "rows": eng.table.snapshot_df().count(),
         }))
         return 0
 
