@@ -13,9 +13,31 @@ streaming aggregation state, exactly what it is for.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+CONV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("max_turn_idx", T.LongType()),
+        T.StructField("last_op_ts", T.TimestampType()),
+    ]
+)
+
+CONV_PROGRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("max_turn_idx", T.LongType()),
+        T.StructField("last_op_ts", T.TimestampType()),
+    ]
+)
 
 
 def windowed_activity(
@@ -38,7 +60,7 @@ def windowed_activity(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(change_log_dir)
     return (
-        stream.withWatermark("op_ts", watermark_delay)
+        stream.withWatermark("op_ts", watermark_delay)  # bounds agg state
         .groupBy(F.window("op_ts", window_size).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_changes"),
@@ -51,5 +73,64 @@ def windowed_activity(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "n_changes", "n_inserts", "n_updates", "n_deletes", "approx_convs",
+        )
+    )
+
+
+def conversation_progress(
+    spark: SparkSession,
+    change_log_dir: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = 16,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY §2.10 / the north rule's Arrow-vectorized stateful path):
+    per-conversation running progress (change count, max turn index,
+    last change time) maintained in Spark's state store across
+    micro-batches.
+
+    Unlike the table-as-state pattern (cdc.apply — the reference's T4
+    carry-forward), this keeps state IN the streaming state store:
+    the right tool when the derived state is small per key and consumers
+    need per-trigger updates rather than a committed table. Each group's
+    rows arrive as an iterator of Arrow-backed pandas frames — vectorized
+    per batch, never per row.
+    """
+
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.exists:
+            n, mx, last = state.get
+        else:
+            n, mx, last = 0, -1, None
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+                batch_last = pdf["op_ts"].max()
+                last = batch_last if last is None else max(last, batch_last)
+        state.update((n, mx, last))
+        yield pd.DataFrame(
+            {"conv_id": [conv_id], "n_changes": [n],
+             "max_turn_idx": [mx], "last_op_ts": [last]}
+        )
+
+    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(change_log_dir)
+    return (
+        stream.select("conv_id", "turn_idx", "op_ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=CONV_PROGRESS_SCHEMA,
+            stateStructType=CONV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
