@@ -87,6 +87,9 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (brute force, broadcast
     queries). Deterministic tie-break on neighbor id."""
+    from . import ensure_parallelism
+
+    vectors = ensure_parallelism(vectors)
     scored = (
         F.broadcast(queries)
         .crossJoin(vectors)
@@ -153,6 +156,9 @@ def lsh_cosine_topk(
     At scale the corpus shuffles on (tbl, sig) — each query probes
     L buckets (~L·N/2^planes vectors) instead of scanning N.
     """
+    from . import ensure_parallelism
+
+    vectors = ensure_parallelism(vectors)
     corpus = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_v"),
@@ -238,7 +244,9 @@ def cosine_topk_numpy(
                 }
             )
 
-    partials = vectors.select(id_col, vec_col).mapInPandas(_score, out_schema)
+    from . import ensure_parallelism
+
+    partials = ensure_parallelism(vectors).select(id_col, vec_col).mapInPandas(_score, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         partials.where(F.col("neighbor_id") != F.col(query_id_col))
@@ -256,7 +264,9 @@ def embedding_near_dups(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) within a block."""
-    base = vectors.select(
+    from . import ensure_parallelism
+
+    base = ensure_parallelism(vectors).select(
         F.col(block_col).alias("_blk"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
     left = base.select("_blk", F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))

@@ -82,12 +82,25 @@ def minhash_signature(shingles, num_hashes: int = 16) -> "F.Column":
     return F.array(*[_minhash(h) for h in range(num_hashes)])
 
 
-def lsh_bands(sig, num_bands: int = 4, rows_per_band: int = 4) -> "F.Column":
-    """Band buckets: md5 of each band's concatenated signature rows.
-    Returns array of (band_idx, bucket) structs for exploding."""
+def lsh_bands(shingles, num_bands: int = 4, rows_per_band: int = 4) -> "F.Column":
+    """Band buckets: md5 of each band's concatenated min-hash rows,
+    computed DIRECTLY from the shingle set. Returns an array of
+    (band_idx, bucket) structs for exploding.
+
+    Expression-shape note: building a full signature array first and
+    indexing it with element_at duplicates the whole 16-hash expression
+    subtree per reference (16 refs × 16 transform passes = 256 scans of
+    the shingle array per row — measured 30s at 5k docs). The direct
+    form evaluates each min-hash exactly once: 16 passes total."""
+
+    def _mh(h: int):
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{h}|"), s)))
+        )
+
     bands = []
     for b in range(num_bands):
-        rows = [F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        rows = [_mh(b * rows_per_band + r) for r in range(rows_per_band)]
         bands.append(
             F.struct(
                 F.lit(b).alias("band"),
@@ -123,7 +136,10 @@ def minhash_lsh_pairs(
     """
     from pyspark.sql import Window
 
+    from . import ensure_parallelism
+
     rows_per_band = num_hashes // num_bands
+    docs = ensure_parallelism(docs)
     base = docs.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), k).alias("_sh"),
@@ -136,9 +152,7 @@ def minhash_lsh_pairs(
     # only for the surviving candidate pairs.
     banded = base.select(
         "_id",
-        F.explode(
-            lsh_bands(minhash_signature(F.col("_sh"), num_hashes), num_bands, rows_per_band)
-        ).alias("bb"),
+        F.explode(lsh_bands(F.col("_sh"), num_bands, rows_per_band)).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     wb = Window.partitionBy("band", "bucket")
@@ -192,7 +206,9 @@ def simhash_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_bits: int = 16
 ) -> DataFrame:
     """Docs grouped by identical SimHash signature (candidate dup groups)."""
-    sigs = docs.select(
+    from . import ensure_parallelism
+
+    sigs = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), simhash_bits(F.col(text_col), num_bits).alias("simhash")
     )
     return (
@@ -224,7 +240,9 @@ def ngram_jaccard_pairs(
         F.col(block_col),
         F.floor(F.length(F.trim(F.col(text_col))) / length_bucket).cast("string"),
     )
-    base = docs.select(
+    from . import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(
         blk.alias("_blk"),
         F.col(id_col).alias("_id"),
         char_shingles(F.col(text_col), n).alias("_sh"),

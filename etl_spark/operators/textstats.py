@@ -92,8 +92,10 @@ def token_count(col) -> "F.Column":
 
 def doc_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per document: predicted language, quality, token count."""
+    from . import ensure_parallelism
+
     t = F.col(text_col)
-    return docs.select(
+    return ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         language_id(t).alias("pred_lang"),
         F.round(quality_score(t), 4).alias("quality"),
