@@ -66,10 +66,10 @@ def main() -> int:
             n_convs=n_convs, n_epochs=n_epochs, evolve_from_epoch=n_epochs - 1,
         )
 
-        # untimed JIT warm-up: a long-running ingest never pays codegen/JIT
-        # per batch, so steady-state is the honest throughput statistic
+        # untimed JIT warm-up (full pass): a long-running ingest never pays
+        # codegen/JIT per batch, so steady-state is the honest statistic
         warm = CdcEngine(spark, os.path.join(work, "warm"), num_buckets=32)
-        warm.replay(log_dir, stop_after=2)
+        warm.replay(log_dir)
 
         eng = CdcEngine(spark, os.path.join(work, "table"), num_buckets=32)
         t0 = time.time()

@@ -1,0 +1,147 @@
+"""Config-driven accumulating-snapshot plans — the engine's semantic layer.
+
+Re-expresses the reference's materialized-fields machinery: metric
+configs become DataFrame column expressions instead of SQL-string
+templates, and the daily user_history advance (new-users branch +
+existing-users carry-forward + union) becomes a reusable plan function.
+
+Reference:
+  * field config shape — /root/reference/etl/lib/app_config/
+    materialized_fields_config.py:22-34 (``MaterializedField{metric_name,
+    select_expression, data_type, totals, user_history_formula}``)
+  * SQL codegen it replaces — /root/reference/etl/dags/user_history/
+    user_history/user_history_parser.py:18-55 (templates with
+    ``{prev_value}/{new_value}`` slots), :118-191 (assembly)
+  * the daily advance — /root/reference/etl/dags/user_history/include/
+    user_history/insert_user_history.sql:151-221 (new users), :227-299
+    (existing carry-forward), :301-311 (delete+insert day)
+
+Scale shape: one hash aggregation of the day's events per key, one
+full-outer join against yesterday's snapshot (both sides pre-aggregated
+— the reference's manual agg-below-join, SURVEY §4), no windows, no
+history rescans. State IS the snapshot table: batch N reads only batch
+N-1's output, the pattern that keeps 10^10-event histories out of any
+single job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class MaterializedField:
+    """One semantic-layer metric.
+
+    ``select_expression`` — SQL aggregate over the day's events (runs in
+    a per-user groupBy), e.g. ``sum(CASE WHEN event_name = 'purchase'
+    THEN paid_usd ELSE 0 END)``.
+    ``totals`` — also maintain ``<name>_total`` carried across days.
+    ``formula`` — carry expression with ``{prev}``/``{new}`` slots
+    (default running sum, like the reference's default template).
+    """
+
+    name: str
+    select_expression: str
+    data_type: str = "double"
+    totals: bool = False
+    formula: str = "{prev} + {new}"
+
+
+def daily_user_metrics(
+    events: DataFrame, fields: list[MaterializedField], user_col: str = "unique_id"
+) -> DataFrame:
+    """The day's per-user metric values: one hash agg, one row per user."""
+    aggs = [
+        F.expr(f.select_expression).cast(f.data_type).alias(f.name) for f in fields
+    ]
+    return events.groupBy(F.col(user_col).alias(user_col)).agg(*aggs)
+
+
+def _zero(f: MaterializedField):
+    return F.lit(0).cast(f.data_type)
+
+
+def advance_snapshot(
+    prev: DataFrame | None,
+    day_events: DataFrame,
+    fields: list[MaterializedField],
+    day: str,
+    user_col: str = "unique_id",
+) -> DataFrame:
+    """One day's snapshot advance: prev snapshot ⟗ today's metrics.
+
+    Semantics (reference insert_user_history.sql):
+      * users seen today for the first time enter with
+        ``registration_date = day`` (new-users branch :151-221);
+      * existing users are carried forward even when inactive today —
+        **no user ever disappears** (:227-299; tests/user_history/
+        count.yaml:1-8);
+      * daily columns reset to today's value (0 when inactive); ``_total``
+        columns fold via the field's formula (:267-287).
+    """
+    daily = daily_user_metrics(day_events, fields, user_col)
+
+    if prev is None:
+        out = daily.select(
+            user_col,
+            F.lit(day).cast("date").alias("registration_date"),
+            F.lit(day).cast("date").alias("date_"),
+            *[F.coalesce(F.col(f.name), _zero(f)).alias(f.name) for f in fields],
+            *[
+                F.coalesce(F.col(f.name), _zero(f)).alias(f"{f.name}_total")
+                for f in fields
+                if f.totals
+            ],
+        )
+        return out
+
+    p = prev.alias("p")
+    d = daily.alias("d")
+    joined = p.join(d, F.col(f"p.{user_col}") == F.col(f"d.{user_col}"), "full_outer")
+
+    cols = [
+        F.coalesce(F.col(f"p.{user_col}"), F.col(f"d.{user_col}")).alias(user_col),
+        F.coalesce(F.col("p.registration_date"), F.lit(day).cast("date")).alias(
+            "registration_date"
+        ),
+        F.lit(day).cast("date").alias("date_"),
+    ]
+    for f in fields:
+        new_val = F.coalesce(F.col(f"d.{f.name}"), _zero(f))
+        cols.append(new_val.alias(f.name))
+        if f.totals:
+            folded = F.expr(
+                f.formula.format(prev="__prev__", new="__new__")
+                .replace("__prev__", f"coalesce(p.{f.name}_total, cast(0 as {f.data_type}))")
+                .replace("__new__", f"coalesce(d.{f.name}, cast(0 as {f.data_type}))")
+            )
+            cols.append(folded.cast(f.data_type).alias(f"{f.name}_total"))
+    return joined.select(*cols)
+
+
+def run_snapshot_pipeline(
+    events: DataFrame,
+    fields: list[MaterializedField],
+    date_col: str = "date_",
+    user_col: str = "unique_id",
+) -> DataFrame:
+    """Batch helper: fold every day of ``events`` in order through
+    ``advance_snapshot`` (the Airflow ``@daily catchup`` loop,
+    /root/reference/etl/dags/user_history/DAG_user_history.py:47-51,
+    collapsed into one call for tests/backfills). Returns the final-day
+    snapshot. In production each day's output would be MERGE-committed
+    to a LakeTable and the loop driven by the scheduler."""
+    days = [str(r[0]) for r in events.select(date_col).distinct().orderBy(date_col).collect()]
+    snap: DataFrame | None = None
+    for day in days:
+        snap = advance_snapshot(
+            snap, events.where(F.col(date_col) == day), fields, day, user_col
+        )
+        # materialization point per day (reference temp tables / day commit):
+        # keeps the lineage linear instead of a 365-deep lazy plan
+        snap = snap.localCheckpoint(eager=False)
+    return snap
