@@ -362,3 +362,64 @@ def t4_carry_forward_totals(spark, sf_dir):
         F.round(F.sum("daily_value").over(w), 3).alias("total_value"),
         F.row_number().over(w).alias("active_day_nr"),
     )
+
+
+# --------------------------------------------------------------------------
+# The reference's flagship: config-driven accumulating snapshot
+# (insert_user_history.sql:151-311 / user_history_parser.py:59-209),
+# day-by-day incremental advance — compared against a full-history
+# recompute in the oracle.
+
+
+@register(
+    "snapshot_user_history",
+    """
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS date_, event_type, value FROM events),
+    last_day AS (SELECT max(date_) AS d FROM ev),
+    daily AS (
+      SELECT user_id, date_,
+             count(*) AS n_events,
+             sum(CASE WHEN event_type = 'purchase' THEN coalesce(value, 0) ELSE 0 END) AS revenue,
+             max(value) AS max_value
+      FROM ev GROUP BY user_id, date_
+    )
+    SELECT d.user_id,
+           strftime(min(d.date_), '%Y-%m-%d') AS registration_date,
+           strftime((SELECT d FROM last_day), '%Y-%m-%d') AS date_,
+           coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.n_events END), 0) AS n_events,
+           round(coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.revenue END), 0), 3) AS revenue,
+           round(coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.max_value END), 0), 3) AS max_value,
+           sum(d.n_events) AS n_events_total,
+           round(sum(d.revenue), 3) AS revenue_total,
+           round(max(d.max_value), 3) AS max_value_total
+    FROM daily d GROUP BY d.user_id
+    """,
+)
+def snapshot_user_history(spark, sf_dir):
+    from .plans import MaterializedField, run_snapshot_pipeline
+
+    fields = [
+        MaterializedField("n_events", "count(*)", "bigint", totals=True),
+        MaterializedField(
+            "revenue",
+            "sum(CASE WHEN event_type = 'purchase' THEN coalesce(value, 0) ELSE 0 END)",
+            "double", totals=True,
+        ),
+        MaterializedField(
+            "max_value", "max(value)", "double",
+            totals=True, formula="greatest({prev}, {new})",
+        ),
+    ]
+    ev = _t(spark, sf_dir, "events").withColumn("date_", F.to_date("ts"))
+    snap = run_snapshot_pipeline(ev, fields, user_col="user_id")
+    return snap.select(
+        "user_id",
+        F.date_format("registration_date", "yyyy-MM-dd").alias("registration_date"),
+        F.date_format("date_", "yyyy-MM-dd").alias("date_"),
+        "n_events",
+        F.round("revenue", 3).alias("revenue"),
+        F.round("max_value", 3).alias("max_value"),
+        "n_events_total",
+        F.round("revenue_total", 3).alias("revenue_total"),
+        F.round("max_value_total", 3).alias("max_value_total"),
+    )
