@@ -362,10 +362,14 @@ class LakeTable:
         rel_path: str,
         kind: str = "compaction",
         extra: dict | None = None,
+        epoch: int | None = None,
+        source: str | None = None,
     ) -> int:
         """Publish a maintenance commit: the given buckets' base becomes
         ``rel_path/_bucket=K`` and their delta lists clear (used by
-        compaction, tombstone expunge, and any future rewrite op)."""
+        compaction, tombstone expunge, incremental-view refresh). When
+        ``epoch``/``source`` are given the commit also fences that epoch
+        (exactly-once for derived-table refreshes)."""
         meta = json.loads(json.dumps(self._meta))
         sid = meta["current_snapshot_id"] + 1
         sv = meta["current_schema_version"]
@@ -384,6 +388,8 @@ class LakeTable:
             }
         )
         meta["current_snapshot_id"] = sid
+        if source is not None and epoch is not None:
+            meta["committed_epochs"][source] = max(epoch, self.committed_epoch(source))
         self._commit_meta(meta)
         return sid
 

@@ -66,3 +66,68 @@ def daily_activity(transcripts: DataFrame) -> DataFrame:
         )
         .where(F.col("day_").isNotNull())
     )
+
+
+def refresh_conversation_summary(src, dst_path: str):
+    """Incremental view maintenance: keep a ``conversation_summary``
+    LakeTable current by recomputing ONLY the buckets dirtied in the
+    source since the last refresh.
+
+    The summary key (conv_id) shares the source's bucket function, so a
+    dirty source bucket maps 1:1 to a summary bucket: the refresh reads
+    just those buckets' current state, re-aggregates, and REBASES the
+    matching summary buckets (fully-deleted conversations disappear for
+    free — no tombstone bookkeeping in the view). Exactly-once per source
+    snapshot via the epoch fence; cost is O(changed buckets), never
+    O(table) — at 10^10 events the difference between a continuously
+    fresh view and a nightly full rebuild.
+
+    Reference analogue: the derivates layer rebuilt per day-partition
+    (/root/reference/etl/dags/user_history/include/user_history/
+    insert_user_history_derivates.sql:9-23 — delete+insert day), keyed
+    here by bucket instead of day.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local import keeps module header light)
+
+    from .lake.table import LakeTable
+
+    src.refresh()
+    summary_schema = conversation_summary(src.snapshot_df()).schema
+    dst = (
+        LakeTable(src.spark, dst_path)
+        if LakeTable.exists(dst_path)
+        else LakeTable.create(
+            src.spark, dst_path, summary_schema,
+            key_cols=["conv_id"], bucket_key="conv_id",
+            num_buckets=src.num_buckets,
+        )
+    )
+    source_tag = "derive_summary"
+    last_sid = dst.committed_epoch(source_tag)
+    new_snaps = [s for s in src.snapshots() if s["snapshot_id"] > last_sid]
+    if not new_snaps:
+        return None
+    dirty = sorted({int(b) for s in new_snaps for b in s.get("dirty_buckets", [])})
+    cur_sid = src.current_snapshot_id
+    if not dirty:
+        # fence the observed snapshots even when they touched no data
+        return dst.commit_rebase([], f"data/base-{dst.current_snapshot_id + 1:08d}",
+                                 kind="view_refresh", epoch=cur_sid, source=source_tag)
+
+    state = (
+        src.read_buckets(dirty, with_internal=True, fold=True)
+        .where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
+        .select(*src.schema().names())
+    )
+    wm = src.watermark() or "1970-01-01 00:00:00"
+    fresh = conversation_summary(state).select(
+        "*",
+        F.to_timestamp(F.lit(wm)).alias("_op_ts"),
+        F.lit(cur_sid).cast("long").alias("_lsn"),
+        F.lit(False).alias("_tombstone"),
+        dst.bucket_expr(F.col("conv_id")).alias("_bucket"),
+    )
+    rel = f"data/base-{dst.current_snapshot_id + 1:08d}"
+    dst.write_files(fresh, rel)
+    dst.commit_rebase(dirty, rel, kind="view_refresh", epoch=cur_sid, source=source_tag)
+    return dst

@@ -79,3 +79,41 @@ def test_daily_activity(spark, replayed):
       FROM t WHERE ts IS NOT NULL GROUP BY 1
     """)
     assert_pdf_equal(got, want, ["day_"])
+
+
+def test_incremental_summary_refresh(spark, tmp_path):
+    """View refresh touches only dirty buckets, survives deletes, and is
+    fenced (re-refresh with no new source snapshots is a no-op)."""
+    from etl_spark.cdc.maintenance import delete_conversations
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.transforms import refresh_conversation_summary
+
+    log = str(tmp_path / "log")
+    write_change_log(spark, log, 8_000, n_convs=100, n_epochs=4)
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=8)
+    dst_path = str(tmp_path / "summary")
+
+    eng.replay(log, stop_after=2)
+    refresh_conversation_summary(eng.table, dst_path)
+    dst = LakeTable(spark, dst_path)
+    got1 = dst.snapshot_df().toPandas()
+    want1 = conversation_summary(eng.table.snapshot_df()).toPandas()
+    assert_pdf_equal(got1, want1, ["conv_id"])
+
+    # more epochs + a GDPR delete, then an incremental refresh
+    eng.replay(log)
+    victims = [r.conv_id for r in eng.table.snapshot_df()
+               .select("conv_id").distinct().limit(2).collect()]
+    delete_conversations(eng.table, victims, request_id=1)
+    refresh_conversation_summary(eng.table, dst_path)
+    dst.refresh()
+    got2 = dst.snapshot_df().toPandas()
+    want2 = conversation_summary(eng.table.snapshot_df()).toPandas()
+    assert_pdf_equal(got2, want2, ["conv_id"])
+    assert not set(victims) & set(got2["conv_id"])  # deleted convs gone from view
+
+    # fenced: nothing new in the source -> no-op
+    v = dst.version
+    assert refresh_conversation_summary(eng.table, dst_path) is None
+    dst.refresh()
+    assert dst.version == v
