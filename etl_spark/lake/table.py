@@ -255,12 +255,19 @@ class LakeTable:
             *[F.col(f"_w.{c}").alias(c) for c in ORDER_COLS],
         )
 
-    def snapshot_df(self) -> DataFrame:
-        """Current logical table state: payload columns, tombstones filtered."""
-        df = self.read_buckets(None, with_internal=True, fold=True)
+    def snapshot_df(self, buckets: list[int] | None = None) -> DataFrame:
+        """Logical table state (optionally pruned to ``buckets``):
+        payload columns, tombstones filtered."""
+        df = self.read_buckets(buckets, with_internal=True, fold=True)
         return df.where(~F.coalesce(F.col("_tombstone"), F.lit(False))).select(
             *self.schema().names()
         )
+
+    def watermark_any(self) -> str | None:
+        """Max high-water mark across all sources (freshness stamp for
+        derived views that don't care which source advanced)."""
+        wms = list(self._meta.get("watermarks", {}).values())
+        return max(wms) if wms else None
 
     # -- schema evolution ------------------------------------------------------
 
@@ -374,8 +381,17 @@ class LakeTable:
         sid = meta["current_snapshot_id"] + 1
         sv = meta["current_schema_version"]
         for b in buckets:
+            bdir = os.path.join(self.path, rel_path, f"_bucket={int(b)}")
+            # Spark writes NO directory for an empty partition — a bucket
+            # whose rows all vanished (e.g. every conversation deleted)
+            # must become an empty bucket, not a dangling metadata path
+            # that bricks every later read.
             meta["files"][str(int(b))] = {
-                "base": {"path": f"{rel_path}/_bucket={int(b)}", "schema_version": sv},
+                "base": (
+                    {"path": f"{rel_path}/_bucket={int(b)}", "schema_version": sv}
+                    if os.path.isdir(bdir)
+                    else None
+                ),
                 "deltas": [],
             }
         meta["snapshots"].append(

@@ -87,47 +87,51 @@ def refresh_conversation_summary(src, dst_path: str):
     insert_user_history_derivates.sql:9-23 — delete+insert day), keyed
     here by bucket instead of day.
     """
-    from pyspark.sql import functions as F  # noqa: F811 (local import keeps module header light)
-
     from .lake.table import LakeTable
 
     src.refresh()
-    summary_schema = conversation_summary(src.snapshot_df()).schema
-    dst = (
-        LakeTable(src.spark, dst_path)
-        if LakeTable.exists(dst_path)
-        else LakeTable.create(
+    if LakeTable.exists(dst_path):
+        dst = LakeTable(src.spark, dst_path)
+        if dst.num_buckets != src.num_buckets or dst.bucket_key != src.bucket_key:
+            raise ValueError(
+                f"view at {dst_path} is bucketed ({dst.bucket_key}, "
+                f"{dst.num_buckets}) but source is ({src.bucket_key}, "
+                f"{src.num_buckets}) — dirty buckets would not map 1:1"
+            )
+    else:
+        # schema probe only on first creation (it plans over the full table)
+        summary_schema = conversation_summary(src.snapshot_df()).schema
+        dst = LakeTable.create(
             src.spark, dst_path, summary_schema,
-            key_cols=["conv_id"], bucket_key="conv_id",
+            key_cols=["conv_id"], bucket_key=src.bucket_key,
             num_buckets=src.num_buckets,
         )
-    )
     source_tag = "derive_summary"
     last_sid = dst.committed_epoch(source_tag)
     new_snaps = [s for s in src.snapshots() if s["snapshot_id"] > last_sid]
     if not new_snaps:
         return None
-    dirty = sorted({int(b) for s in new_snaps for b in s.get("dirty_buckets", [])})
+    # only delta commits change logical state; compaction/expunge rewrite
+    # files without changing what the view would compute
+    dirty = sorted({
+        int(b) for s in new_snaps if s.get("kind") == "delta"
+        for b in s.get("dirty_buckets", [])
+    })
     cur_sid = src.current_snapshot_id
-    if not dirty:
+    if dirty:
+        state = src.snapshot_df(dirty)
+        wm = src.watermark_any() or "1970-01-01 00:00:00"
+        fresh = conversation_summary(state).select(
+            "*",
+            F.to_timestamp(F.lit(wm)).alias("_op_ts"),
+            F.lit(cur_sid).cast("long").alias("_lsn"),
+            F.lit(False).alias("_tombstone"),
+            dst.bucket_expr(F.col("conv_id")).alias("_bucket"),
+        )
+        rel = f"data/base-{dst.current_snapshot_id + 1:08d}"
+        dst.write_files(fresh, rel)
+        dst.commit_rebase(dirty, rel, kind="view_refresh", epoch=cur_sid, source=source_tag)
+    else:
         # fence the observed snapshots even when they touched no data
-        return dst.commit_rebase([], f"data/base-{dst.current_snapshot_id + 1:08d}",
-                                 kind="view_refresh", epoch=cur_sid, source=source_tag)
-
-    state = (
-        src.read_buckets(dirty, with_internal=True, fold=True)
-        .where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
-        .select(*src.schema().names())
-    )
-    wm = src.watermark() or "1970-01-01 00:00:00"
-    fresh = conversation_summary(state).select(
-        "*",
-        F.to_timestamp(F.lit(wm)).alias("_op_ts"),
-        F.lit(cur_sid).cast("long").alias("_lsn"),
-        F.lit(False).alias("_tombstone"),
-        dst.bucket_expr(F.col("conv_id")).alias("_bucket"),
-    )
-    rel = f"data/base-{dst.current_snapshot_id + 1:08d}"
-    dst.write_files(fresh, rel)
-    dst.commit_rebase(dirty, rel, kind="view_refresh", epoch=cur_sid, source=source_tag)
+        dst.commit_rebase([], "", kind="view_refresh", epoch=cur_sid, source=source_tag)
     return dst

@@ -117,3 +117,30 @@ def test_incremental_summary_refresh(spark, tmp_path):
     assert refresh_conversation_summary(eng.table, dst_path) is None
     dst.refresh()
     assert dst.version == v
+
+
+def test_refresh_survives_fully_deleted_bucket(spark, tmp_path):
+    """Regression: if every conversation in a dirty bucket is deleted,
+    the refresh must commit an EMPTY view bucket, not a dangling path
+    that breaks all subsequent reads."""
+    from etl_spark.cdc.maintenance import delete_conversations, expunge_tombstones
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.transforms import refresh_conversation_summary
+
+    log = str(tmp_path / "log")
+    write_change_log(spark, log, 3_000, n_convs=30, n_epochs=1)
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    eng.replay(log)
+    dst_path = str(tmp_path / "summary")
+    refresh_conversation_summary(eng.table, dst_path)
+
+    all_convs = [r.conv_id for r in eng.table.snapshot_df()
+                 .select("conv_id").distinct().collect()]
+    delete_conversations(eng.table, all_convs, request_id=1)
+    refresh_conversation_summary(eng.table, dst_path)
+    dst = LakeTable(spark, dst_path)
+    assert dst.snapshot_df().count() == 0  # readable, empty — not bricked
+
+    # same hazard in expunge: emptying buckets entirely must stay readable
+    expunge_tombstones(eng.table, "2100-01-01 00:00:00")
+    assert eng.table.snapshot_df().count() == 0
