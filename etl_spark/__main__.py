@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--table", required=True)
     x.add_argument("--before", required=True, help="drop tombstones with op_ts older than this (retention horizon)")
 
+    v = sub.add_parser("vacuum")
+    v.add_argument("--table", required=True)
+    v.add_argument("--keep-meta-versions", type=int, default=3)
+
     d = sub.add_parser("gdpr-delete")
     d.add_argument("--table", required=True)
     d.add_argument("--conv-ids", required=True, help="comma-separated conversation ids to erase")
@@ -139,14 +143,19 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
 
+    if args.cmd == "vacuum":
+        eng = CdcEngine(spark, args.table)
+        print(json.dumps(eng.table.vacuum(keep_meta_versions=args.keep_meta_versions)))
+        return 0
+
     if args.cmd == "show":
         eng = CdcEngine(spark, args.table)
         df = eng.table.snapshot_df()
         print(json.dumps({
             "rows": df.count(),
             "schema": eng.table.schema().to_json(),
-            "committed_epoch": eng.table.committed_epoch(),
-            "committed_epoch_stream": eng.table.committed_epoch("stream"),
+            "committed_epochs": eng.table._meta["committed_epochs"],
+            "watermarks": eng.table._meta.get("watermarks", {}),
             "snapshot_id": eng.table.current_snapshot_id,
         }, indent=1))
         for row in eng.lineage.rows()[-args.limit:]:

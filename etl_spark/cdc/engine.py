@@ -143,8 +143,25 @@ class CdcEngine:
         via recursive lookup); ``foreachBatch`` applies each micro-batch
         through the same exactly-once MERGE path, with Spark's checkpoint
         providing the monotonic batch id used as the fencing epoch.
+
+        Batch ids are only monotone WITHIN one checkpoint lineage, so the
+        fencing source is namespaced by a marker id stored in the
+        checkpoint dir: a fresh/deleted checkpoint restarts batch ids at 0
+        — under the old source those batches would be fenced as replays
+        and silently dropped; under a fresh namespace they reprocess, and
+        the LWW fold makes the reprocessing idempotent at the data level.
         Call ``.processAllAvailable()`` / ``awaitTermination`` on the result.
         """
+        import uuid as _uuid
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        marker = os.path.join(checkpoint_dir, "_etl_spark_lineage_id")
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write(_uuid.uuid4().hex[:12])
+        with open(marker) as f:
+            source = f"{source}@{f.read().strip()}"
+
         reader = (
             self.spark.readStream.schema(schema or CHANGE_SCHEMA)
             .option("recursiveFileLookup", "true")

@@ -37,6 +37,13 @@ def delete_conversations(
     already-applied changes; post-deletion traffic with newer op_ts
     re-creates keys (CDC semantics — the stream owns the truth).
     Returns the snapshot id, or None if fenced (already applied).
+
+    Contract boundaries: erasure covers keys PRESENT at request time. A
+    sub-watermark late event for a key the conversation never showed
+    (e.g. a straggling turn 6 when turns 0-5 were erased) will insert —
+    like the reference, erasure requests are re-issuable (new
+    request_id) and retention jobs run periodically. Physical bytes
+    disappear at ``expunge_tombstones`` + ``LakeTable.vacuum``.
     """
     table.refresh()
     if request_id <= table.committed_epoch(source):
@@ -47,7 +54,7 @@ def delete_conversations(
         r["_b"] for r in ids.select(table.bucket_expr(F.col("conv_id")).alias("_b"))
         .distinct().collect()
     )
-    wm = table.watermark() or "1970-01-01 00:00:00"
+    wm = table.watermark_any() or "1970-01-01 00:00:00"
     current = table.read_buckets(buckets, with_internal=True, fold=True)
     doomed = current.join(F.broadcast(ids), "conv_id", "left_semi")
     schema = table.schema()
@@ -75,17 +82,22 @@ def expunge_tombstones(table: LakeTable, before_op_ts: str) -> int | None:
     """Physically remove tombstones older than ``before_op_ts`` (retention
     horizon). Safe once no in-flight change below the horizon can still
     arrive (operator-chosen, e.g. watermark minus the max allowed
-    lateness). Rewrites only buckets that actually hold old tombstones;
-    GDPR-wise this is the point where erased data stops existing on disk.
+    lateness). Rewrites only buckets that actually hold old tombstones.
+    Superseded files stop being REFERENCED here; they stop EXISTING after
+    ``LakeTable.vacuum`` (delete → expunge → vacuum is the full GDPR
+    path).
     """
     table.refresh()
-    folded = table.read_buckets(None, with_internal=True, fold=True)
     old_tomb = F.coalesce(F.col("_tombstone"), F.lit(False)) & (
         F.col("_op_ts") < F.to_timestamp(F.lit(before_op_ts))
     )
+    # dirty detection on the RAW (unfolded) files: a plain filter scan with
+    # no shuffle — may over-select a bucket whose old tombstone was since
+    # superseded, which only costs a harmless rewrite of that bucket
+    raw = table.read_buckets(None, with_internal=True, fold=False)
     dirty = sorted(
         r["_bucket"]
-        for r in folded.where(old_tomb).select("_bucket").distinct().collect()
+        for r in raw.where(old_tomb).select("_bucket").distinct().collect()
     )
     if not dirty:
         return None

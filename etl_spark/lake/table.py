@@ -116,7 +116,7 @@ class LakeTable:
             # where entry = {"path": rel_dir, "schema_version": int}
             "files": {},
         }
-        _atomic_write_json(os.path.join(meta_dir, "v0.json"), meta)
+        _atomic_publish_json(os.path.join(meta_dir, "v0.json"), meta)
         _atomic_write_text(os.path.join(meta_dir, HINT), "0")
         return LakeTable(spark, path)
 
@@ -241,19 +241,12 @@ class LakeTable:
         return out
 
     def _lww_fold(self, df: DataFrame) -> DataFrame:
-        """One row per key: argmax over (_op_ts, _lsn) — hash agg with
-        map-side partial combine (skew-safe; same plan as cdc.dedup)."""
-        key = self.key_cols
-        payload = [c for c in df.columns if c not in key and c not in ORDER_COLS]
-        packed = F.max(
-            F.struct(*[F.col(c) for c in ORDER_COLS], *[F.col(c) for c in payload])
-        ).alias("_w")
-        out = df.groupBy(*key).agg(packed)
-        return out.select(
-            *key,
-            *[F.col(f"_w.{c}").alias(c) for c in payload],
-            *[F.col(f"_w.{c}").alias(c) for c in ORDER_COLS],
-        )
+        """One row per key: argmax over (_op_ts, _lsn) — delegates to the
+        shared LWW aggregation (cdc.dedup.lww_dedup) so tie-break and
+        plan-shape decisions live in exactly one place."""
+        from ..cdc.dedup import lww_dedup
+
+        return lww_dedup(df, key=self.key_cols, order=ORDER_COLS)
 
     def snapshot_df(self, buckets: list[int] | None = None) -> DataFrame:
         """Logical table state (optionally pruned to ``buckets``):
@@ -316,6 +309,11 @@ class LakeTable:
         sid = meta["current_snapshot_id"] + 1
         sv = meta["current_schema_version"]
         for b in dirty_buckets:
+            bdir = os.path.join(self.path, delta_rel_path, f"_bucket={int(b)}")
+            if not os.path.isdir(bdir):
+                # Spark writes no dir for an empty partition; referencing it
+                # would make every later read fail on a missing path
+                continue
             slot = meta["files"].setdefault(str(int(b)), {"base": None, "deltas": []})
             slot["deltas"].append(
                 {"path": f"{delta_rel_path}/_bucket={int(b)}", "schema_version": sv}
@@ -409,26 +407,98 @@ class LakeTable:
         self._commit_meta(meta)
         return sid
 
+    MAX_SNAPSHOT_LOG = 512
+
     def _commit_meta(self, meta: dict) -> None:
+        # bound the embedded snapshot log: per-commit metadata cost must be
+        # O(1), not O(history) — a 10^6-epoch stream would otherwise
+        # serialize an ever-growing document on every commit. Consumers of
+        # dirty-bucket history (incremental view refresh) see
+        # ``snapshots_truncated_before`` and fall back to a full pass.
+        if len(meta["snapshots"]) > self.MAX_SNAPSHOT_LOG:
+            dropped = meta["snapshots"][: -self.MAX_SNAPSHOT_LOG]
+            meta["snapshots"] = meta["snapshots"][-self.MAX_SNAPSHOT_LOG:]
+            meta["snapshots_truncated_before"] = max(
+                int(meta.get("snapshots_truncated_before", 0)),
+                max(s["snapshot_id"] for s in dropped) + 1,
+            )
         new_v = meta["version"] + 1
         meta["version"] = new_v
         target = os.path.join(self.path, META_DIR, f"v{new_v}.json")
-        if os.path.exists(target):
-            raise ConcurrentCommitError(
-                f"metadata version v{new_v} already exists — concurrent writer?"
-            )
-        _atomic_write_json(target, meta)
+        _atomic_publish_json(target, meta)
         _atomic_write_text(os.path.join(self.path, META_DIR, HINT), str(new_v))
+        _fsync_dir(os.path.join(self.path, META_DIR))
         self._meta = meta
 
+    def snapshots_truncated_before(self) -> int:
+        return int(self._meta.get("snapshots_truncated_before", 0))
 
-def _atomic_write_json(path: str, obj: dict) -> None:
+    # -- storage reclamation ----------------------------------------------------
+
+    def vacuum(self, keep_meta_versions: int = 3) -> dict:
+        """Delete data directories no longer referenced by the CURRENT
+        metadata, and metadata versions older than ``keep_meta_versions``.
+
+        This is where superseded data physically stops existing on disk
+        (the GDPR erasure endpoint: delete → expunge → vacuum). Safe under
+        the single-writer model: readers resolve the current hint only.
+        """
+        import shutil
+
+        self.refresh()
+        referenced: set[str] = set()
+        for e in self._meta["files"].values():
+            if e.get("base"):
+                referenced.add(e["base"]["path"])
+            for d in e["deltas"]:
+                referenced.add(d["path"])
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for snap_dir in sorted(os.listdir(data_root)):
+                sd = os.path.join(data_root, snap_dir)
+                if not os.path.isdir(sd):
+                    continue
+                for bucket_dir in sorted(os.listdir(sd)):
+                    if not bucket_dir.startswith("_bucket="):
+                        continue
+                    if f"data/{snap_dir}/{bucket_dir}" not in referenced:
+                        shutil.rmtree(os.path.join(sd, bucket_dir), ignore_errors=True)
+                        removed += 1
+                if not any(n.startswith("_bucket=") for n in os.listdir(sd)):
+                    shutil.rmtree(sd, ignore_errors=True)
+        removed_meta = 0
+        cur_v = self._meta["version"]
+        meta_dir = os.path.join(self.path, META_DIR)
+        for name in os.listdir(meta_dir):
+            m = name.removeprefix("v").removesuffix(".json")
+            if name.startswith("v") and name.endswith(".json") and m.isdigit():
+                if int(m) <= cur_v - keep_meta_versions:
+                    os.remove(os.path.join(meta_dir, name))
+                    removed_meta += 1
+        return {"removed_data_dirs": removed, "removed_meta_versions": removed_meta}
+
+
+def _atomic_publish_json(path: str, obj: dict) -> None:
+    """Write-then-LINK: os.link fails with EEXIST if the target exists, so
+    version reservation is atomic — two racing committers cannot both
+    claim v{N} (a bare rename would silently clobber the loser)."""
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, path)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"metadata version {os.path.basename(path)} already exists — concurrent writer?"
+        )
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _atomic_write_text(path: str, text: str) -> None:
@@ -438,3 +508,13 @@ def _atomic_write_text(path: str, text: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync the directory entry updates — without it a power loss can
+    persist the hint flip but lose v{N}.json's dir entry."""
+    fd = os.open(path, os.O_DIRECTORY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)

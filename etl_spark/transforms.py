@@ -113,10 +113,16 @@ def refresh_conversation_summary(src, dst_path: str):
         return None
     # only delta commits change logical state; compaction/expunge rewrite
     # files without changing what the view would compute
-    dirty = sorted({
-        int(b) for s in new_snaps if s.get("kind") == "delta"
-        for b in s.get("dirty_buckets", [])
-    })
+    if last_sid + 1 < src.snapshots_truncated_before():
+        # the source's snapshot log was truncated past our cursor — the
+        # dirty history is gone, degrade to a full refresh (correct, just
+        # not incremental this once)
+        dirty = list(range(src.num_buckets))
+    else:
+        dirty = sorted({
+            int(b) for s in new_snaps if s.get("kind") == "delta"
+            for b in s.get("dirty_buckets", [])
+        })
     cur_sid = src.current_snapshot_id
     if dirty:
         state = src.snapshot_df(dirty)

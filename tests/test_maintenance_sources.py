@@ -102,3 +102,36 @@ def test_read_partitioned_csv(spark, tmp_path):
     # partition pruning: dt filter must reach the scan as a partition filter
     plan = df.where(F.col("dt") == "2025-01-01")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_delete_absent_conversation_is_safe(spark, loaded):
+    """Regression: deleting ids that don't exist (or hash to buckets with
+    no matching rows) must not register dangling delta paths."""
+    eng = loaded
+    n = eng.table.snapshot_df().count()
+    sid = delete_conversations(eng.table, ["never_existed_1", "never_existed_2"],
+                               request_id=7)
+    assert sid is not None  # request is fenced even though it erased nothing
+    assert eng.table.snapshot_df().count() == n  # table still fully readable
+
+
+def test_delete_works_on_stream_fed_table(spark, tmp_path):
+    """Regression: GDPR tombstones must beat rows applied under ANY source
+    (watermark_any), not just source='default'."""
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    changes = gen_changes(spark, 2_000, n_convs=20, n_epochs=1).drop("epoch")
+    apply_batch(eng.table, changes, epoch=0, source="streamish")
+    victim = eng.table.snapshot_df().select("conv_id").first().conv_id
+    delete_conversations(eng.table, [victim], request_id=1)
+    assert eng.table.snapshot_df().where(F.col("conv_id") == victim).count() == 0
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, loaded):
+    eng = loaded
+    before = eng.table.snapshot_df().toPandas()
+    eng.table.compact(list(range(eng.table.num_buckets)))  # supersede deltas
+    stats = eng.table.vacuum()
+    assert stats["removed_data_dirs"] > 0
+    after = eng.table.snapshot_df().toPandas()
+    from tests.conftest import assert_pdf_equal
+    assert_pdf_equal(before, after, ["conv_id", "turn_idx"])

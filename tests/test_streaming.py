@@ -131,3 +131,24 @@ def test_stateful_conversation_progress(spark, stream_log, tmp_path):
     merged = got.join(want)
     assert (merged["n_changes"] == merged["n"]).all()
     assert (merged["max_turn_idx"] == merged["mx"]).all()
+
+
+def test_fresh_checkpoint_does_not_drop_data(spark, stream_log, tmp_path):
+    """Regression: batch ids restart at 0 with a new checkpoint dir; the
+    fencing namespace must restart with them (otherwise new data would be
+    fenced as 'already applied' and silently lost)."""
+    table_path = str(tmp_path / "tbl")
+    eng = CdcEngine(spark, table_path, num_buckets=8)
+    q = eng.stream(stream_log, str(tmp_path / "ckpt_a"))
+    q.processAllAvailable(); q.stop()
+    rows_first = eng.table.snapshot_df().count()
+    assert rows_first > 0
+
+    # brand-new checkpoint: everything re-reads under a fresh namespace;
+    # LWW makes the re-apply a no-op at the data level
+    eng2 = CdcEngine(spark, table_path, num_buckets=8)
+    q2 = eng2.stream(stream_log, str(tmp_path / "ckpt_b"))
+    q2.processAllAvailable(); q2.stop()
+    assert eng2.table.snapshot_df().count() == rows_first
+    applied = [r for r in eng2.lineage.rows() if not r["skipped"]]
+    assert len(applied) > 1  # second pass actually processed (not fenced away)
