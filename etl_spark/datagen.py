@@ -45,13 +45,13 @@ def _h(col, salt: str, seed: int):
 
 
 def _pseudo_text(src, seed: int, max_words: int = 24):
-    """Deterministic pseudo-text: n words drawn from _VOCAB by hash."""
+    """Deterministic pseudo-text: n ∈ [2, max_words-1] words from _VOCAB."""
     nwords = (_h(src, "nw", seed) % (max_words - 2) + 2).cast("int")
     vocab = F.array(*[F.lit(w) for w in _VOCAB])
     return F.concat_ws(
         " ",
         F.transform(
-            F.sequence(F.lit(0), nwords),
+            F.sequence(F.lit(1), nwords),
             lambda i: F.element_at(vocab, (F.pmod(F.xxhash64(src, i, F.lit(seed)), F.lit(len(_VOCAB))) + 1).cast("int")),
         ),
     )
@@ -77,9 +77,14 @@ def gen_changes(
 
     # Duplicate fixture: ~5% verbatim copies of the previous row, ~5%
     # re-emissions of the previous row's logical event with a newer (op_ts, lsn).
+    # A row may only duplicate a NON-duplicate predecessor — otherwise the
+    # copy would reproduce hash(id-1)-derived payload while row id-1
+    # actually emitted hash(id-2)'s, breaking the bit-identical invariant.
     dup_kind = _h(F.col("id"), "dup", seed) % 20
-    src = F.when((dup_kind < 2) & (F.col("id") > 0), F.col("id") - 1).otherwise(F.col("id"))
-    verbatim = (dup_kind == F.lit(0)) & (F.col("id") > 0)
+    prev_is_dup = _h(F.col("id") - 1, "dup", seed) % 20 < 2
+    is_dup = (dup_kind < 2) & (F.col("id") > 0) & ~prev_is_dup
+    src = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    verbatim = is_dup & (dup_kind == F.lit(0))
 
     df = df.withColumn("src", src).withColumn("verbatim", verbatim)
 

@@ -55,27 +55,6 @@ def _plane_component(p: int, d) -> "F.Column":
     return (F.instr(F.lit(HEX), F.substring(h, 1, 1)) - 1).cast("double") - 7.5
 
 
-def lsh_signature(vec, num_planes: int = 8) -> "F.Column":
-    """Sign-bit signature string: bit p = 1 iff dot(vec, plane_p) > 0."""
-    dim = F.size(vec)
-
-    def _proj(p: int):
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), dim - 1),
-                lambda x, i: x.cast("double") * _plane_component(p, i),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    bits = [
-        F.when(_proj(p) > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(num_planes)
-    ]
-    return F.concat(*bits)
-
-
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,

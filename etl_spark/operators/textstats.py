@@ -56,8 +56,9 @@ def language_id(col) -> "F.Column":
     scores = lang_scores(col)
     best_lang = F.lit("und")
     best_score = F.lit(0.0)
-    # iterate in reverse so earlier languages win ties (strict > below)
-    for lang, score in reversed(scores):
+    # forward order + strict > ⇒ the FIRST language with the max score
+    # wins ties (en > es > de > fr priority, matching the SQL oracle)
+    for lang, score in scores:
         take = score > best_score
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, score).otherwise(best_score)

@@ -91,11 +91,10 @@ def advance_snapshot(
             F.lit(day).cast("date").alias("registration_date"),
             F.lit(day).cast("date").alias("date_"),
             *[F.coalesce(F.col(f.name), _zero(f)).alias(f.name) for f in fields],
-            *[
-                F.coalesce(F.col(f.name), _zero(f)).alias(f"{f.name}_total")
-                for f in fields
-                if f.totals
-            ],
+            # totals start as the raw first-day value (possibly NULL) — a
+            # coalesce-to-0 here would floor non-additive folds like
+            # greatest() at 0 and turn all-NULL metrics into 0
+            *[F.col(f.name).alias(f"{f.name}_total") for f in fields if f.totals],
         )
         return out
 
@@ -114,10 +113,18 @@ def advance_snapshot(
         new_val = F.coalesce(F.col(f"d.{f.name}"), _zero(f))
         cols.append(new_val.alias(f.name))
         if f.totals:
-            folded = F.expr(
-                f.formula.format(prev="__prev__", new="__new__")
-                .replace("__prev__", f"coalesce(p.{f.name}_total, cast(0 as {f.data_type}))")
-                .replace("__new__", f"coalesce(d.{f.name}, cast(0 as {f.data_type}))")
+            # NULL-aware fold: first value seeds the total, inactive days
+            # carry it unchanged, and only genuine (prev, new) pairs run
+            # the formula — coalescing either side to 0 would floor
+            # non-additive folds (greatest) and fabricate 0 from NULLs,
+            # diverging from an active-days-only SQL aggregate
+            formula = F.expr(
+                f.formula.format(prev=f"p.{f.name}_total", new=f"d.{f.name}")
+            )
+            folded = (
+                F.when(F.col(f"p.{f.name}_total").isNull(), F.col(f"d.{f.name}"))
+                .when(F.col(f"d.{f.name}").isNull(), F.col(f"p.{f.name}_total"))
+                .otherwise(formula)
             )
             cols.append(folded.cast(f.data_type).alias(f"{f.name}_total"))
     return joined.select(*cols)
@@ -135,13 +142,23 @@ def run_snapshot_pipeline(
     collapsed into one call for tests/backfills). Returns the final-day
     snapshot. In production each day's output would be MERGE-committed
     to a LakeTable and the loop driven by the scheduler."""
-    days = [str(r[0]) for r in events.select(date_col).distinct().orderBy(date_col).collect()]
-    snap: DataFrame | None = None
-    for day in days:
-        snap = advance_snapshot(
-            snap, events.where(F.col(date_col) == day), fields, day, user_col
-        )
-        # materialization point per day (reference temp tables / day commit):
-        # keeps the lineage linear instead of a 365-deep lazy plan
-        snap = snap.localCheckpoint(eager=False)
-    return snap
+    events = events.persist()  # one scan feeds every day's filter
+    try:
+        days = [
+            str(r[0])
+            for r in events.select(date_col).distinct().orderBy(date_col).collect()
+        ]
+        snap: DataFrame | None = None
+        for i, day in enumerate(days):
+            snap = advance_snapshot(
+                snap, events.where(F.col(date_col) == day), fields, day, user_col
+            )
+            # periodic materialization (reference temp tables / day commit):
+            # bounds plan depth without holding a checkpoint per day —
+            # per-day checkpoints would pin O(days) snapshot copies in
+            # executor storage for the pipeline's lifetime
+            if (i + 1) % 7 == 0 or i == len(days) - 1:
+                snap = snap.localCheckpoint(eager=True)
+        return snap
+    finally:
+        events.unpersist()

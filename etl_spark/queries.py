@@ -588,37 +588,13 @@ def doc_fingerprint(spark, sf_dir):
     """,
 )
 def sim_cosine_topk(spark, sf_dir):
+    from .operators.similarity import cosine_topk
+
     e = _t(spark, sf_dir, "embeddings")
     qd = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    scored = (
-        F.broadcast(qd)
-        .crossJoin(e)
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                dot(F.col("qv"), F.col("embedding"))
-                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 5)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_r"), "rk")
-    )
+    return cosine_topk(e, qd, k=5)
 
 
 # --------------------------------------------------------------------------

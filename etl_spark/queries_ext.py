@@ -302,10 +302,11 @@ def u1_union_assembly(spark, sf_dir):
     """,
 )
 def f_pseudonymize(spark, sf_dir):
+    from .functions import pseudonymize
+
     ev = _t(spark, sf_dir, "events")
     pmap = ev.select("user_id").distinct().select(
-        "user_id",
-        F.sha2(F.concat(F.lit("pepper|"), F.col("user_id").cast("string")), 256).alias("pseudo"),
+        "user_id", pseudonymize("user_id").alias("pseudo")
     )
     return (
         ev.join(pmap, "user_id")

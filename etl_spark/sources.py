@@ -56,10 +56,13 @@ def read_partitioned_csv(
 
 def _as_changes(df: DataFrame, op_ts_col: str, lsn_col: str) -> DataFrame:
     out = df.withColumn("op", F.lit("I"))
+    # rename (not copy) the source's ordering columns — a leftover
+    # 'fetched_at' would ride into the payload and be schema-evolved into
+    # the lake table permanently
     if op_ts_col != "op_ts":
-        out = out.withColumn("op_ts", F.col(op_ts_col))
+        out = out.withColumn("op_ts", F.col(op_ts_col)).drop(op_ts_col)
     if lsn_col != "lsn":
-        out = out.withColumn("lsn", F.col(lsn_col).cast("long"))
+        out = out.withColumn("lsn", F.col(lsn_col).cast("long")).drop(lsn_col)
     return out
 
 
