@@ -115,7 +115,8 @@ def a1_pricing_summary(spark, sf_dir):
     """
     SELECT user_id,
            count(*)                                                   AS n_events,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)   AS n_purchases,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT)                                            AS n_purchases,
            count(DISTINCT CASE WHEN event_type = 'purchase'
                                THEN CAST(ts AS DATE) END)             AS purchase_days,
            round(sum(CASE WHEN event_type = 'purchase'
@@ -195,7 +196,7 @@ def w2_first_event(spark, sf_dir):
         ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM g
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
            count(*) AS n_events, round(sum(value), 3) AS session_value
     FROM s GROUP BY user_id, session_seq
@@ -237,7 +238,7 @@ def w5_sessions(spark, sf_dir):
       FROM events
     )
     SELECT user_id, count(*) AS n_pairs,
-           sum(CASE WHEN gap > 0 THEN gap ELSE 0 END) AS missing,
+           CAST(sum(CASE WHEN gap > 0 THEN gap ELSE 0 END) AS BIGINT) AS missing,
            max(gap) AS max_gap
     FROM g WHERE gap IS NOT NULL GROUP BY user_id
     """,

@@ -211,9 +211,20 @@ def sim_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(e, probes)
 
 
-@register("sim_brute_topk_large")
+# Same logical query as sim_cosine_topk with (n_probes=500, k=3): the
+# oracle is that SQL template with the two parameters substituted.
+from .queries import ORACLES as _CORE_ORACLES  # noqa: E402
+
+_BRUTE_LARGE_ORACLE = (
+    _CORE_ORACLES["sim_cosine_topk"]
+    .replace("vec_id < 10", "vec_id < 500")
+    .replace("rk <= 5", "rk <= 3")
+)
+
+
+@register("sim_brute_topk_large", _BRUTE_LARGE_ORACLE)
 def sim_brute_topk_large(spark, sf_dir):
-    """Rows-only scale probe: brute-force top-k over a 500-query probe set
+    """Scale probe: brute-force top-k over a 500-query probe set
     (the quadratic baseline the LSH variant avoids)."""
     e = _t(spark, sf_dir, "embeddings")
     probes = e.where(F.col("vec_id") < 500).select(
@@ -225,9 +236,6 @@ def sim_brute_topk_large(spark, sf_dir):
 # Same oracle as sim_cosine_topk in etl_spark.queries: identical logical
 # result, different physical path (Arrow-batched NumPy matmul instead of
 # per-pair higher-order aggregates).
-from .queries import ORACLES as _CORE_ORACLES  # noqa: E402
-
-
 @register("sim_numpy_topk", _CORE_ORACLES["sim_cosine_topk"])
 def sim_numpy_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")

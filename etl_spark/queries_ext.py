@@ -335,7 +335,7 @@ def f_pseudonymize(spark, sf_dir):
     )
     SELECT user_id, strftime(day_, '%Y-%m-%d') AS day_str,
            daily_events, daily_value,
-           sum(daily_events) OVER w AS total_events,
+           CAST(sum(daily_events) OVER w AS BIGINT) AS total_events,
            round(sum(daily_value) OVER w, 3) AS total_value,
            row_number() OVER w AS active_day_nr
     FROM daily
@@ -390,7 +390,7 @@ def t4_carry_forward_totals(spark, sf_dir):
            coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.n_events END), 0) AS n_events,
            round(coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.revenue END), 0), 3) AS revenue,
            round(coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.max_value END), 0), 3) AS max_value,
-           sum(d.n_events) AS n_events_total,
+           CAST(sum(d.n_events) AS BIGINT) AS n_events_total,
            round(sum(d.revenue), 3) AS revenue_total,
            round(max(d.max_value), 3) AS max_value_total
     FROM daily d GROUP BY d.user_id

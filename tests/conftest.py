@@ -20,11 +20,43 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def stringify(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Mirror of the driver's hash input: every cell rendered with str().
+
+    The driver value-hashes str(cell) over name-sorted columns, so a DuckDB
+    HUGEINT that lands in pandas as float64 renders '9402.0' where Spark's
+    bigint renders '9402' — a real gate failure that tolerance-based
+    comparison (check_dtype=False) silently masks. Keeping this exact is
+    what makes the local gate predict the driver gate.
+    """
+    def cell(v):
+        try:
+            isna = bool(pd.isna(v))
+        except (TypeError, ValueError):  # array-like cell
+            isna = False
+        if isna:
+            return "<null>"
+        if isinstance(v, (list, tuple)) or getattr(v, "ndim", 0):
+            return str([str(x) for x in v])
+        return str(v)
+
+    out = pdf.copy()
+    for c in out.columns:
+        out[c] = out[c].map(cell)
+    return out
+
+
 def assert_pdf_equal(left: pd.DataFrame, right: pd.DataFrame, key_cols: list[str]):
-    """Order-insensitive frame equality: sort by keys, normalize timestamps."""
+    """Order-insensitive, driver-strict frame equality.
+
+    Sorts rows by ``key_cols``, then asserts cell-by-cell equality of the
+    *stringified* frames (the driver's hash semantics). Timestamps are
+    normalized to tz-naive datetime64[us] first since parquet round-trips
+    differ only in tz annotation between Spark and DuckDB.
+    """
     left = _normalize(left)[sorted(left.columns)]
     right = _normalize(right)[sorted(right.columns)]
     assert sorted(left.columns) == sorted(right.columns), (left.columns, right.columns)
     left = left.sort_values(key_cols, ignore_index=True)
     right = right.sort_values(key_cols, ignore_index=True)
-    pd.testing.assert_frame_equal(left, right, check_dtype=False, check_exact=False, rtol=1e-9)
+    pd.testing.assert_frame_equal(stringify(left), stringify(right))

@@ -58,8 +58,8 @@ def test_incremental_equals_full_recompute(spark, events_path):
              coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.n_events END), 0) AS n_events,
              round(coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.revenue END), 0), 3) AS revenue,
              coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.max_event_index END), 0) AS max_event_index,
-             coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.n_logins END), 0) AS n_logins,
-             sum(d.n_events) AS n_events_total,
+             CAST(coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.n_logins END), 0) AS BIGINT) AS n_logins,
+             CAST(sum(d.n_events) AS BIGINT) AS n_events_total,
              round(sum(d.revenue), 3) AS revenue_total,
              max(d.max_event_index) AS max_event_index_total
       FROM daily d GROUP BY d.unique_id

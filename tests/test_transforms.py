@@ -44,10 +44,10 @@ def test_conversation_summary(spark, replayed):
     want = _oracle(log, """
       SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx,
              min(ts) AS first_ts, max(ts) AS last_ts,
-             sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
-             sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+             CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+             CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
              count(DISTINCT tool) AS n_distinct_tools,
-             sum(length(text)) AS total_chars
+             CAST(sum(length(text)) AS BIGINT) AS total_chars
       FROM t GROUP BY conv_id
     """)
     assert_pdf_equal(got, want, ["conv_id"])
