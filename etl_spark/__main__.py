@@ -57,9 +57,21 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--table", required=True)
     x.add_argument("--before", required=True, help="drop tombstones with op_ts older than this (retention horizon)")
 
-    v = sub.add_parser("vacuum")
+    v = sub.add_parser(
+        "vacuum",
+        help="remove unreferenced data dirs + old metadata versions; "
+        "do NOT run concurrently with ingest unless --min-age-seconds "
+        "comfortably exceeds the longest possible write+commit",
+    )
     v.add_argument("--table", required=True)
     v.add_argument("--keep-meta-versions", type=int, default=3)
+    v.add_argument(
+        "--min-age-seconds",
+        type=float,
+        default=3600.0,
+        help="orphan-age guard: only unreferenced dirs older than this are "
+        "removed (protects in-flight writes and readers on recent versions)",
+    )
 
     d = sub.add_parser("gdpr-delete")
     d.add_argument("--table", required=True)
@@ -145,7 +157,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "vacuum":
         eng = CdcEngine(spark, args.table)
-        print(json.dumps(eng.table.vacuum(keep_meta_versions=args.keep_meta_versions)))
+        print(json.dumps(eng.table.vacuum(
+            keep_meta_versions=args.keep_meta_versions,
+            min_age_seconds=args.min_age_seconds,
+        )))
         return 0
 
     if args.cmd == "show":

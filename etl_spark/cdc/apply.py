@@ -145,8 +145,7 @@ def apply_batch(
     )
 
     # 3. write winners as a DELTA file set (only dirty buckets; O(batch))
-    next_sid = table.current_snapshot_id + 1
-    rel = table.write_files(as_stored, f"data/delta-{next_sid:08d}")
+    rel = table.write_files(as_stored, table.new_data_rel("delta"))
 
     m = obs.get
     stats.winners = int(m["n_keys"])

@@ -154,13 +154,21 @@ class CdcEngine:
         """
         import uuid as _uuid
 
+        from ..lake.table import _atomic_write_text
+
         os.makedirs(checkpoint_dir, exist_ok=True)
         marker = os.path.join(checkpoint_dir, "_etl_spark_lineage_id")
-        if not os.path.exists(marker):
-            with open(marker, "w") as f:
-                f.write(_uuid.uuid4().hex[:12])
-        with open(marker) as f:
-            source = f"{source}@{f.read().strip()}"
+        # tmp+fsync+rename, and an empty marker (crash between create and
+        # write under a plain open) counts as absent — a truncated marker
+        # must never permanently fix the namespace to 'source@'
+        marker_id = ""
+        if os.path.exists(marker):
+            with open(marker) as f:
+                marker_id = f.read().strip()
+        if not marker_id:
+            marker_id = _uuid.uuid4().hex[:12]
+            _atomic_write_text(marker, marker_id)
+        source = f"{source}@{marker_id}"
 
         reader = (
             self.spark.readStream.schema(schema or CHANGE_SCHEMA)

@@ -16,9 +16,14 @@ from pyspark.sql import functions as F
 from ..lake.table import LakeTable
 
 # A delete request must beat every change already applied, while still
-# being overridable by genuinely newer traffic (op_ts above the current
-# watermark). lsn 2^62 wins every tie at the same op_ts.
-_REQUEST_LSN = 1 << 62
+# being overridable by genuinely newer traffic. Tombstones are stamped at
+# (current watermark, max applied lsn of the doomed keys + 1): they defeat
+# everything applied so far, but a legitimate future change whose op_ts
+# EQUALS the watermark and carries a higher lsn (common with
+# coarse-granularity op_ts sources) still wins and re-creates the key —
+# deletion does NOT swallow equal-op_ts later-lsn traffic. Fallback when
+# no doomed rows exist (nothing to beat).
+_REQUEST_LSN_FALLBACK = 1
 
 
 def delete_conversations(
@@ -33,9 +38,11 @@ def delete_conversations(
     fenced exactly like a CDC epoch. Only the buckets holding the target
     conversations are read (bucket pruning) and only tombstone rows are
     written (O(deleted keys), not O(table)). The tombstones carry
-    ``op_ts = current watermark`` and a maximal lsn, so they defeat all
-    already-applied changes; post-deletion traffic with newer op_ts
-    re-creates keys (CDC semantics — the stream owns the truth).
+    ``op_ts = current watermark`` and ``lsn = max applied lsn of the
+    doomed keys + 1``, so they defeat everything already applied while
+    post-deletion traffic at newer op_ts — or at the SAME op_ts with a
+    higher lsn — re-creates keys (CDC semantics — the stream owns the
+    truth; deletion never swallows genuinely newer changes).
     Returns the snapshot id, or None if fenced (already applied).
 
     Contract boundaries: erasure covers keys PRESENT at request time. A
@@ -57,6 +64,8 @@ def delete_conversations(
     wm = table.watermark_any() or "1970-01-01 00:00:00"
     current = table.read_buckets(buckets, with_internal=True, fold=True)
     doomed = current.join(F.broadcast(ids), "conv_id", "left_semi")
+    max_lsn = doomed.agg(F.max("_lsn")).first()[0]
+    tomb_lsn = (int(max_lsn) + 1) if max_lsn is not None else _REQUEST_LSN_FALLBACK
     schema = table.schema()
     key_cols = set(table.key_cols)
     tomb = doomed.select(
@@ -66,12 +75,11 @@ def delete_conversations(
             for f in schema.fields
         ],
         F.to_timestamp(F.lit(wm)).alias("_op_ts"),
-        F.lit(_REQUEST_LSN).cast("long").alias("_lsn"),
+        F.lit(tomb_lsn).cast("long").alias("_lsn"),
         F.lit(True).alias("_tombstone"),
         F.col("_bucket"),
     )
-    next_sid = table.current_snapshot_id + 1
-    rel = table.write_files(tomb, f"data/delta-{next_sid:08d}")
+    rel = table.write_files(tomb, table.new_data_rel("delta"))
     return table.commit_delta(
         request_id, source, rel, buckets,
         stats={"kind": "gdpr_delete", "conv_ids": len(conv_ids)},
@@ -102,8 +110,7 @@ def expunge_tombstones(table: LakeTable, before_op_ts: str) -> int | None:
     if not dirty:
         return None
     kept = table.read_buckets(dirty, with_internal=True, fold=True).where(~old_tomb)
-    sid = table.current_snapshot_id + 1
-    rel = f"data/base-{sid:08d}"
+    rel = table.new_data_rel("base")
     table.write_files(kept, rel)
     return table.commit_rebase(
         dirty, rel, kind="expunge", extra={"before_op_ts": before_op_ts}

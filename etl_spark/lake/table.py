@@ -279,6 +279,20 @@ class LakeTable:
 
     # -- writes ----------------------------------------------------------------
 
+    def new_data_rel(self, kind: str) -> str:
+        """Fresh, attempt-unique data directory name (``kind`` ∈
+        {delta, base}).
+
+        The uuid suffix makes the path unique PER WRITE ATTEMPT, not per
+        snapshot id: two racing writers that both loaded version V would
+        otherwise target the same ``data/{kind}-{V+1}`` directory, and the
+        loser's mode=overwrite write would clobber the winner's committed
+        files before the metadata reservation detects the conflict. With
+        unique paths the reservation fully arbitrates; the loser's orphan
+        directory is reclaimed by ``vacuum``.
+        """
+        return f"data/{kind}-{self.current_snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
+
     def write_files(self, df: DataFrame, rel: str) -> str:
         """Write one file set (delta or base), partitioned by ``_bucket``.
 
@@ -356,8 +370,7 @@ class LakeTable:
         if not buckets:
             return None
         folded = self.read_buckets(buckets, with_internal=True, fold=True)
-        sid = self.current_snapshot_id + 1
-        rel = f"data/base-{sid:08d}"
+        rel = self.new_data_rel("base")
         self.write_files(folded, rel)
         return self.commit_rebase(buckets, rel, kind="compaction")
 
@@ -435,17 +448,39 @@ class LakeTable:
 
     # -- storage reclamation ----------------------------------------------------
 
-    def vacuum(self, keep_meta_versions: int = 3) -> dict:
+    def vacuum(self, keep_meta_versions: int = 3, min_age_seconds: float = 3600.0) -> dict:
         """Delete data directories no longer referenced by the CURRENT
         metadata, and metadata versions older than ``keep_meta_versions``.
 
         This is where superseded data physically stops existing on disk
-        (the GDPR erasure endpoint: delete → expunge → vacuum). Safe under
-        the single-writer model: readers resolve the current hint only.
+        (the GDPR erasure endpoint: delete → expunge → vacuum).
+
+        ``min_age_seconds`` is the Iceberg-style orphan-age guard: only
+        unreferenced directories whose newest file mtime is older than the
+        threshold are removed. That protects (a) a concurrent apply/compact
+        that has written its delta but not yet committed the metadata, and
+        (b) readers whose plan was resolved against a recent older
+        metadata version. Pass 0 only when no writer or reader can be
+        live (e.g. tests). GDPR note: the unreferenced-but-young bytes a
+        nonzero threshold retains disappear on the next vacuum run after
+        they age out — retention jobs run periodically.
         """
         import shutil
 
         self.refresh()
+        now = time.time()
+
+        def _old_enough(path: str) -> bool:
+            newest = 0.0
+            for dirpath, _dirnames, filenames in os.walk(path):
+                for n in filenames:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(dirpath, n)))
+                    except OSError:
+                        return False  # racing writer is touching it — skip
+            newest = max(newest, os.path.getmtime(path))
+            return (now - newest) >= min_age_seconds
+
         referenced: set[str] = set()
         for e in self._meta["files"].values():
             if e.get("base"):
@@ -462,8 +497,9 @@ class LakeTable:
                 for bucket_dir in sorted(os.listdir(sd)):
                     if not bucket_dir.startswith("_bucket="):
                         continue
-                    if f"data/{snap_dir}/{bucket_dir}" not in referenced:
-                        shutil.rmtree(os.path.join(sd, bucket_dir), ignore_errors=True)
+                    bd = os.path.join(sd, bucket_dir)
+                    if f"data/{snap_dir}/{bucket_dir}" not in referenced and _old_enough(bd):
+                        shutil.rmtree(bd, ignore_errors=True)
                         removed += 1
                 if not any(n.startswith("_bucket=") for n in os.listdir(sd)):
                     shutil.rmtree(sd, ignore_errors=True)

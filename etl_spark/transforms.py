@@ -134,7 +134,7 @@ def refresh_conversation_summary(src, dst_path: str):
             F.lit(False).alias("_tombstone"),
             dst.bucket_expr(F.col("conv_id")).alias("_bucket"),
         )
-        rel = f"data/base-{dst.current_snapshot_id + 1:08d}"
+        rel = dst.new_data_rel("base")
         dst.write_files(fresh, rel)
         dst.commit_rebase(dirty, rel, kind="view_refresh", epoch=cur_sid, source=source_tag)
     else:

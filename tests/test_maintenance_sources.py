@@ -130,7 +130,9 @@ def test_vacuum_reclaims_unreferenced_files(spark, loaded):
     eng = loaded
     before = eng.table.snapshot_df().toPandas()
     eng.table.compact(list(range(eng.table.num_buckets)))  # supersede deltas
-    stats = eng.table.vacuum()
+    # age-guarded: freshly superseded dirs survive the default threshold
+    assert eng.table.vacuum()["removed_data_dirs"] == 0
+    stats = eng.table.vacuum(min_age_seconds=0)  # no live writer/reader here
     assert stats["removed_data_dirs"] > 0
     after = eng.table.snapshot_df().toPandas()
     from tests.conftest import assert_pdf_equal
