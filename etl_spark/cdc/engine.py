@@ -56,14 +56,21 @@ CHANGE_SCHEMA = T.StructType(
 
 
 class CdcEngine:
-    def __init__(self, spark: SparkSession, table_path: str, num_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        num_buckets: int = 16,
+        compact_threshold: int = 8,
+    ):
         self.spark = spark
         self.table_path = table_path
         if LakeTable.exists(table_path):
             self.table = LakeTable(spark, table_path)
         else:
             self.table = LakeTable.create(
-                spark, table_path, TRANSCRIPT_SCHEMA, bucket_key="conv_id", num_buckets=num_buckets
+                spark, table_path, TRANSCRIPT_SCHEMA, bucket_key="conv_id",
+                num_buckets=num_buckets, compact_threshold=compact_threshold,
             )
         self.lineage = LineageLog(os.path.join(table_path, "_lineage", "lineage.jsonl"))
 

@@ -68,9 +68,14 @@ def delete_conversations(
     tomb_lsn = (int(max_lsn) + 1) if max_lsn is not None else _REQUEST_LSN_FALLBACK
     schema = table.schema()
     key_cols = set(table.key_cols)
+    # erase the payload, keep key + event time: ts is retention/bookkeeping
+    # metadata (not user content) and keeping it preserves the file-set
+    # time stats that drive window pruning — a tombstone with NULL event
+    # time would force every windowed read to scan its file set forever
+    keep_cols = key_cols | ({table.stats_col} if table.stats_col else set())
     tomb = doomed.select(
         *[
-            F.col(f.name) if f.name in key_cols
+            F.col(f.name) if f.name in keep_cols
             else F.lit(None).cast(f.type).alias(f.name)
             for f in schema.fields
         ],

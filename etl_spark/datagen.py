@@ -130,7 +130,12 @@ def gen_changes(
         F.when(~is_delete, role).alias("role"),
         F.when(~is_delete, _pseudo_text(F.col("src"), seed)).alias("text"),
         F.when(~is_delete, tool).alias("tool"),
-        F.when(~is_delete, ts).alias("ts"),
+        # deletes keep the before-image event time (Debezium-style full
+        # before-image): a tombstone that knows its key's event time keeps
+        # the file-set time stats null-free, so time-window pruning stays
+        # effective. ts is a stable function of the key, so this is the
+        # same value every other version of the key carries.
+        ts.alias("ts"),
         op_ts.alias("op_ts"),
         lsn.cast("long").alias("lsn"),
         (F.col("id") / per_epoch).cast("int").alias("epoch"),

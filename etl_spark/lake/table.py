@@ -112,8 +112,9 @@ class LakeTable:
             "current_schema_version": 0,
             "snapshots": [],
             "committed_epochs": {},
-            # bucket(str) -> {"base": entry|None, "deltas": [entry, ...]}
-            # where entry = {"path": rel_dir, "schema_version": int}
+            # bucket(str) -> {"base": [entry,...]|None, "deltas": [entry,...]}
+            # where entry = {"path": rel_dir (a _bucket=K or _bucket=K/_day=D
+            # leaf), "schema_version": int, "ts_stats": {min,max,nulls,rows}|None}
             "files": {},
         }
         _atomic_publish_json(os.path.join(meta_dir, "v0.json"), meta)
@@ -158,6 +159,17 @@ class LakeTable:
     def compact_threshold(self) -> int:
         return int(self._meta["partition"].get("compact_threshold", 8))
 
+    @property
+    def stats_col(self) -> str | None:
+        """Event-time column tracked with per-file-set min/max stats (the
+        time dimension for partition pruning). Defaults to ``ts`` when the
+        schema has it. The pruning contract assumes event time is STABLE
+        per key across updates (the reference's ``date_`` partition has
+        the same property: date_ is derived from collector_tstamp and
+        never restated — e.g. insert_user_history.sql:57,130)."""
+        col = self._meta["partition"].get("stats_col", "ts")
+        return col if col in self.schema().names() else None
+
     def schema(self) -> TableSchema:
         return TableSchema.from_json(
             self._meta["schemas"][str(self._meta["current_schema_version"])]
@@ -176,8 +188,131 @@ class LakeTable:
         /root/reference/etl/dags/user_history/include/load/load_data.sql:10)."""
         return self._meta.get("watermarks", {}).get(source)
 
+    @staticmethod
+    def _base_entries(slot: dict) -> list[dict]:
+        """Base file sets of a bucket slot as a list (a base spans one
+        entry per ``_day`` leaf; pre-day-layout metadata stored a single
+        dict — normalize both shapes)."""
+        base = slot.get("base")
+        if not base:
+            return []
+        return base if isinstance(base, list) else [base]
+
     def delta_counts(self) -> dict[int, int]:
-        return {int(b): len(e["deltas"]) for b, e in self._meta["files"].items()}
+        """Outstanding delta COMMITS per bucket (the compaction trigger).
+        A single commit contributes one entry per day leaf; count distinct
+        commit directories, not leaves, so multi-day batches don't trip
+        compaction early."""
+        return {
+            int(b): len({d["path"].split("/_bucket=")[0] for d in e["deltas"]})
+            for b, e in self._meta["files"].items()
+        }
+
+    # -- file statistics (time dimension) -------------------------------------
+
+    def _dir_ts_stats(self, rel_dir: str) -> dict | None:
+        """Footer-only min/max/null stats of ``stats_col`` for one
+        ``_bucket=K`` directory — zero data read (the parquet footers
+        already carry per-row-group statistics; this is the manifest-stats
+        idea from the Iceberg spec, collected driver-side).
+
+        Returns ``{"min": iso, "max": iso, "nulls": int, "rows": int}``,
+        or None when the column/stats are unavailable (the file set is
+        then never pruned — correctness beats pruning).
+
+        Driver-side footer reads are O(files in ONE commit) — the delta
+        write repartitions to one file per bucket, so a commit touches at
+        most num_buckets footers. A multi-executor deployment at larger
+        file counts would lift this into tasks (Iceberg collects the same
+        stats in the writer); the metadata shape is identical either way.
+        """
+        col = self.stats_col
+        if col is None:
+            return None
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return None
+        mn = mx = None
+        nulls = rows = 0
+        found_any = False
+        abs_dir = os.path.join(self.path, rel_dir)
+        for root, _dirs, names in os.walk(abs_dir):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(root, n)).metadata
+                except Exception:
+                    return None
+                rows += md.num_rows
+                idx = None
+                for i in range(md.num_columns):
+                    if md.schema.column(i).name == col:
+                        idx = i
+                        break
+                if idx is None:
+                    return None
+                for rg in range(md.num_row_groups):
+                    c = md.row_group(rg).column(idx)
+                    st = c.statistics
+                    if st is None or st.null_count is None:
+                        return None  # unknown nulls → cannot prune safely
+                    nulls += st.null_count
+                    if not st.has_min_max:
+                        if st.null_count < c.num_values:
+                            return None  # real values without min/max
+                        continue  # all-null row group
+                    found_any = True
+                    lo, hi = _ts_plain(st.min), _ts_plain(st.max)
+                    mn = lo if mn is None or lo < mn else mn
+                    mx = hi if mx is None or hi > mx else mx
+        if not found_any and nulls == 0:
+            return {"min": None, "max": None, "nulls": 0, "rows": rows}
+        return {
+            "min": mn.isoformat(sep=" ") if mn else None,
+            "max": mx.isoformat(sep=" ") if mx else None,
+            "nulls": int(nulls),
+            "rows": int(rows),
+        }
+
+    @staticmethod
+    def _entry_prunable(entry: dict, ts_min, ts_max) -> bool:
+        """True if this file set provably holds no row relevant to the
+        [ts_min, ts_max] time range. A set with NULL event times (e.g.
+        tombstones, whose payload is nulled) is never pruned — deletions
+        must always participate in the LWW fold."""
+        st = entry.get("ts_stats")
+        if st is None or st["nulls"] > 0:
+            return False
+        if st["rows"] == 0:
+            return True
+        if st["min"] is None or st["max"] is None:
+            return False
+        lo, hi = _parse_ts(st["min"]), _parse_ts(st["max"])
+        if ts_min is not None and hi < ts_min:
+            return True
+        if ts_max is not None and lo > ts_max:
+            return True
+        return False
+
+    def plan_file_sets(
+        self, buckets: list[int] | None = None, ts_min=None, ts_max=None
+    ) -> tuple[list[dict], list[dict]]:
+        """Resolve the scan plan: (selected, pruned) file-set entries for
+        the given buckets and time range. Exposed for tests/observability
+        (the EXPLAIN of the table format)."""
+        ts_min, ts_max = _parse_ts(ts_min), _parse_ts(ts_max)
+        files = self._meta["files"]
+        sel = {int(b): v for b, v in files.items() if buckets is None or int(b) in set(buckets)}
+        entries = []
+        for _b, e in sorted(sel.items()):
+            entries.extend(self._base_entries(e))
+            entries.extend(e["deltas"])
+        chosen, pruned = [], []
+        for entry in entries:
+            (pruned if self._entry_prunable(entry, ts_min, ts_max) else chosen).append(entry)
+        return chosen, pruned
 
     # -- reads ---------------------------------------------------------------
 
@@ -197,23 +332,27 @@ class LakeTable:
         buckets: list[int] | None = None,
         with_internal: bool = True,
         fold: bool = True,
+        ts_min=None,
+        ts_max=None,
     ) -> DataFrame:
-        """Scan current snapshot, pruned to ``buckets`` (None = all).
+        """Scan current snapshot, pruned to ``buckets`` (None = all) and —
+        when ``ts_min``/``ts_max`` are given — to file sets whose
+        ``stats_col`` footer range intersects the window (time-dimension
+        partition pruning, the reference's ``WHERE date_ =
+        execution_date`` scan scoping).
 
-        Reads every live file set (base + deltas) of the selected buckets,
-        aligns each to the current table schema (directories are grouped by
-        the schema version they were written with — schema-on-read), and,
-        with ``fold=True``, LWW-folds to one row per key by max
+        Reads every surviving file set (base + deltas), aligns each to the
+        current table schema (directories are grouped by the schema
+        version they were written with — schema-on-read), and, with
+        ``fold=True``, LWW-folds to one row per key by max
         ``(_op_ts, _lsn)`` — the merge-on-read resolve. ``fold=False``
         returns the raw multi-version rows (compaction/debug path).
+
+        Time pruning returns a candidate SUPERSET of the window (file-set
+        granularity; tombstone/NULL sets always scan) — callers wanting
+        exact bounds apply the residual row filter (``snapshot_df`` does).
         """
-        files = self._meta["files"]
-        sel = {int(b): v for b, v in files.items() if buckets is None or int(b) in set(buckets)}
-        entries = []
-        for b, e in sel.items():
-            if e.get("base"):
-                entries.append(e["base"])
-            entries.extend(e["deltas"])
+        entries, _pruned = self.plan_file_sets(buckets, ts_min, ts_max)
         if not entries:
             return self._empty(with_internal)
 
@@ -248,13 +387,30 @@ class LakeTable:
 
         return lww_dedup(df, key=self.key_cols, order=ORDER_COLS)
 
-    def snapshot_df(self, buckets: list[int] | None = None) -> DataFrame:
-        """Logical table state (optionally pruned to ``buckets``):
-        payload columns, tombstones filtered."""
-        df = self.read_buckets(buckets, with_internal=True, fold=True)
-        return df.where(~F.coalesce(F.col("_tombstone"), F.lit(False))).select(
-            *self.schema().names()
-        )
+    def snapshot_df(
+        self, buckets: list[int] | None = None, ts_min=None, ts_max=None
+    ) -> DataFrame:
+        """Logical table state (optionally pruned to ``buckets`` and to an
+        event-time window): payload columns, tombstones filtered.
+
+        With ``ts_min``/``ts_max``, file sets outside the window are
+        skipped via footer stats and an exact residual filter on
+        ``stats_col`` is applied on top — the two-level pruning a
+        day-partitioned warehouse table gives the reference. Correct under
+        the stable-event-time contract (see ``stats_col``); deletions
+        always participate because tombstone file sets carry NULL event
+        times and are never pruned.
+        """
+        df = self.read_buckets(buckets, with_internal=True, fold=True,
+                               ts_min=ts_min, ts_max=ts_max)
+        df = df.where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
+        col = self.stats_col
+        if col is not None:
+            if ts_min is not None:
+                df = df.where(F.col(col) >= F.lit(_parse_ts(ts_min)))
+            if ts_max is not None:
+                df = df.where(F.col(col) <= F.lit(_parse_ts(ts_max)))
+        return df.select(*self.schema().names())
 
     def watermark_any(self) -> str | None:
         """Max high-water mark across all sources (freshness stamp for
@@ -294,20 +450,55 @@ class LakeTable:
         return f"data/{kind}-{self.current_snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
 
     def write_files(self, df: DataFrame, rel: str) -> str:
-        """Write one file set (delta or base), partitioned by ``_bucket``.
+        """Write one file set (delta or base), partitioned by
+        ``(_bucket, _day)`` — the key dimension for co-located upserts and
+        the time dimension for window pruning (the reference's
+        ``PARTITION BY date_``, e.g. fact/insert_sessions.sql:4).
+
+        ``_day`` derives from ``stats_col``; NULL event times land in the
+        hive default partition, which is always scanned. The shuffle is
+        on ``_bucket`` only (one task per bucket splits its rows across
+        day directories), so adding the day dimension costs no extra
+        shuffle.
 
         ``mode=overwrite`` makes a crash-replayed write of the same
         directory self-cleaning (the orphan from the failed attempt is
         replaced before it is ever referenced by metadata).
         """
         out = os.path.join(self.path, rel)
+        part_cols = ["_bucket"]
+        if self.stats_col is not None:
+            df = df.withColumn("_day", F.to_date(F.col(self.stats_col)).cast("string"))
+            part_cols.append("_day")
         (
             df.repartition(self.num_buckets, F.col("_bucket"))
             .write.mode("overwrite")
-            .partitionBy("_bucket")
+            .partitionBy(*part_cols)
             .parquet(out)
         )
         return rel
+
+    def _leaf_entries(self, rel_path: str, bucket: int, schema_version: int) -> list[dict]:
+        """Metadata entries for one just-written bucket directory: one per
+        ``_day=`` leaf (tight per-day footer stats), or the bucket dir
+        itself when there is no day dimension. The hive default partition
+        (NULL event time) gets ``ts_stats: None`` — never pruned."""
+        brel = f"{rel_path}/_bucket={int(bucket)}"
+        bdir = os.path.join(self.path, brel)
+        days = sorted(n for n in os.listdir(bdir) if n.startswith("_day="))
+        if not days:
+            return [{"path": brel, "schema_version": schema_version,
+                     "ts_stats": self._dir_ts_stats(brel)}]
+        out = []
+        for d in days:
+            rel = f"{brel}/{d}"
+            null_day = d.endswith("__HIVE_DEFAULT_PARTITION__")
+            out.append({
+                "path": rel,
+                "schema_version": schema_version,
+                "ts_stats": None if null_day else self._dir_ts_stats(rel),
+            })
+        return out
 
     def commit_delta(
         self,
@@ -329,9 +520,7 @@ class LakeTable:
                 # would make every later read fail on a missing path
                 continue
             slot = meta["files"].setdefault(str(int(b)), {"base": None, "deltas": []})
-            slot["deltas"].append(
-                {"path": f"{delta_rel_path}/_bucket={int(b)}", "schema_version": sv}
-            )
+            slot["deltas"].extend(self._leaf_entries(delta_rel_path, b, sv))
         meta["snapshots"].append(
             {
                 "snapshot_id": sid,
@@ -399,7 +588,7 @@ class LakeTable:
             # that bricks every later read.
             meta["files"][str(int(b))] = {
                 "base": (
-                    {"path": f"{rel_path}/_bucket={int(b)}", "schema_version": sv}
+                    self._leaf_entries(rel_path, int(b), sv)
                     if os.path.isdir(bdir)
                     else None
                 ),
@@ -483,10 +672,14 @@ class LakeTable:
 
         referenced: set[str] = set()
         for e in self._meta["files"].values():
-            if e.get("base"):
-                referenced.add(e["base"]["path"])
-            for d in e["deltas"]:
-                referenced.add(d["path"])
+            for entry in self._base_entries(e) + e["deltas"]:
+                referenced.add(entry["path"])
+
+        def _is_live(rel: str) -> bool:
+            # entries reference either the bucket dir itself or _day leaves
+            # under it — a bucket dir is live if anything under it is
+            return rel in referenced or any(r.startswith(rel + "/") for r in referenced)
+
         removed = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
@@ -498,7 +691,7 @@ class LakeTable:
                     if not bucket_dir.startswith("_bucket="):
                         continue
                     bd = os.path.join(sd, bucket_dir)
-                    if f"data/{snap_dir}/{bucket_dir}" not in referenced and _old_enough(bd):
+                    if not _is_live(f"data/{snap_dir}/{bucket_dir}") and _old_enough(bd):
                         shutil.rmtree(bd, ignore_errors=True)
                         removed += 1
                 if not any(n.startswith("_bucket=") for n in os.listdir(sd)):
@@ -535,6 +728,22 @@ def _atomic_publish_json(path: str, obj: dict) -> None:
             os.remove(tmp)
         except FileNotFoundError:
             pass
+
+
+def _parse_ts(v):
+    """Accept None, ISO string, date, or datetime → naive datetime."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, _dt.datetime):
+        return _ts_plain(v) if v is not None else None
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    return _dt.datetime.fromisoformat(str(v))
+
+
+def _ts_plain(dt):
+    """Strip tz (session is pinned UTC; footer stats may come tz-aware)."""
+    return dt.replace(tzinfo=None) if getattr(dt, "tzinfo", None) is not None else dt
 
 
 def _atomic_write_text(path: str, text: str) -> None:

@@ -53,6 +53,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # int64 micros (not legacy INT96): INT96 writes no footer min/max,
+        # which would silently disable the lake table's time-stats pruning
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Throughput-oriented GC: the ingest path is allocation-heavy
         # (struct-max hash agg over wide rows); ParallelGC sustains higher
