@@ -38,6 +38,13 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--table", required=True)
     r.add_argument("--buckets", type=int, default=16)
     r.add_argument("--stop-after", type=int, default=None)
+    r.add_argument(
+        "--gate",
+        choices=["none", "default"],
+        default="none",
+        help="quality gate per epoch: 'default' runs the stock transcript "
+        "checks (mandatory violation blocks the commit and stops the replay)",
+    )
 
     s = sub.add_parser("stream")
     s.add_argument("--log", required=True)
@@ -73,6 +80,15 @@ def main(argv: list[str] | None = None) -> int:
         "removed (protects in-flight writes and readers on recent versions)",
     )
 
+    cp = sub.add_parser(
+        "close-partitions",
+        help="close day partitions the watermark has passed (or force-close "
+        "stale ones) and report restatements into already-closed days",
+    )
+    cp.add_argument("--table", required=True)
+    cp.add_argument("--allowed-lateness-hours", type=float, default=2.0)
+    cp.add_argument("--force-close-after-hours", type=float, default=12.0)
+
     d = sub.add_parser("gdpr-delete")
     d.add_argument("--table", required=True)
     d.add_argument("--conv-ids", required=True, help="comma-separated conversation ids to erase")
@@ -99,7 +115,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "replay":
         eng = CdcEngine(spark, args.table, num_buckets=args.buckets)
-        results = eng.replay(args.log, stop_after=args.stop_after)
+        gate = None
+        if args.gate == "default":
+            from etl_spark.quality import default_transcript_gate
+
+            gate = default_transcript_gate()
+        results = eng.replay(args.log, stop_after=args.stop_after, gate=gate)
         for st in results:
             print(json.dumps({
                 "epoch": st.epoch, "snapshot_id": st.snapshot_id,
@@ -140,6 +161,23 @@ def main(argv: list[str] | None = None) -> int:
         eng = CdcEngine(spark, args.table)
         sid = expunge_tombstones(eng.table, args.before)
         print(json.dumps({"expunged": sid is not None, "snapshot_id": sid}))
+        return 0
+
+    if args.cmd == "close-partitions":
+        from etl_spark.cdc.partitions import close_due_partitions, restatements
+
+        eng = CdcEngine(spark, args.table)
+        newly = close_due_partitions(
+            eng.table,
+            allowed_lateness_hours=args.allowed_lateness_hours,
+            force_close_after_hours=args.force_close_after_hours,
+        )
+        print(json.dumps({
+            "closed": [{k: m[k] for k in ("day", "mode", "watermark")} for m in newly],
+            "restatements": [
+                {"day": r["day"], "leaf": r["leaf"]} for r in restatements(eng.table)
+            ],
+        }))
         return 0
 
     if args.cmd == "gdpr-delete":

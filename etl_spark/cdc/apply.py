@@ -66,6 +66,7 @@ class ApplyStats:
     late_rows: int = 0
     max_lag_s: float | None = None
     watermark: str | None = None
+    gate: dict | None = None
     wall_s: float = 0.0
 
     @property
@@ -80,8 +81,18 @@ def apply_batch(
     source: str = "default",
     evolve: bool = True,
     compact: bool = True,
+    gate=None,
 ) -> ApplyStats:
-    """Apply one micro-batch of changes. Idempotent per (source, epoch)."""
+    """Apply one micro-batch of changes. Idempotent per (source, epoch).
+
+    ``gate`` (a ``quality.QualityGate``) rides the same Observation as the
+    lineage metrics — zero extra passes. Its verdict lands between the
+    data write and the metadata commit: a mandatory violation raises
+    ``GateFailure`` with NOTHING committed (the orphan delta directory is
+    reclaimed by vacuum; the epoch stays unfenced, so a corrected retry
+    replays it). Optional violations are recorded in stats/lineage and do
+    not block. Row-level checks are scoped to non-delete events.
+    """
     t0 = time.time()
     table.refresh()
     if epoch <= table.committed_epoch(source):
@@ -122,6 +133,7 @@ def apply_batch(
     # efficiency high (Amdahl): at 4× cores the only non-scaling parts left
     # are the output commit and one metadata fsync.
     obs = Observation(f"apply_{source}_{epoch}")
+    gate_cols = gate.observe_cols(row_filter=F.col("op") != "D") if gate else []
     winners = winners.observe(
         obs,
         F.count(F.lit(1)).alias("n_keys"),
@@ -132,6 +144,7 @@ def apply_batch(
         F.max("op_ts").alias("op_ts_max"),
         F.sum("_late_cnt").alias("late_rows"),
         F.collect_set("_bucket").alias("buckets"),
+        *gate_cols,
     )
 
     as_stored = align(
@@ -157,6 +170,15 @@ def apply_batch(
     stats.late_rows = int(m["late_rows"] or 0)
     if m["op_ts_max"] is not None and m["op_ts_min"] is not None:
         stats.max_lag_s = round((m["op_ts_max"] - m["op_ts_min"]).total_seconds(), 3)
+    if gate is not None:
+        from ..quality import GateFailure
+
+        report = gate.report_from_metrics(dict(obs.get))
+        stats.gate = report.to_dict()
+        if not report.ok:
+            # block BEFORE the metadata commit: table state unchanged,
+            # epoch unfenced, the written delta is an orphan for vacuum
+            raise GateFailure(report, context=f"epoch {epoch} ({source})")
     stats.snapshot_id = table.commit_delta(
         epoch,
         source,

@@ -90,12 +90,17 @@ class CdcEngine:
         change_log_dir: str,
         source: str = "default",
         stop_after: int | None = None,
+        gate=None,
     ) -> list[ApplyStats]:
         """Apply every epoch directory in order; skip already-committed ones.
 
         ``stop_after`` applies at most that many *new* epochs (kill/resume
         test hook). Lineage offsets (rows_in, lsn range) come out of the
         apply's own dedup aggregation — the log is scanned once per epoch.
+        ``gate`` (quality.QualityGate) guards every epoch commit; a
+        mandatory violation stops the replay with the failing epoch
+        unfenced (reference: mandatory test failure aborts the DAG run,
+        plugins/operators/test.py:45-64).
         """
         results: list[ApplyStats] = []
         applied = 0
@@ -105,7 +110,7 @@ class CdcEngine:
             if stop_after is not None and applied >= stop_after:
                 break
             changes = self.spark.read.parquet(path)
-            stats = apply_batch(self.table, changes, epoch, source=source)
+            stats = apply_batch(self.table, changes, epoch, source=source, gate=gate)
             self._record(source, stats)
             results.append(stats)
             applied += 1
@@ -129,6 +134,7 @@ class CdcEngine:
                 "dirty_buckets": stats.dirty_buckets,
                 "compacted_buckets": stats.compacted_buckets,
                 "schema_changes": stats.schema_changes,
+                "gate": stats.gate,
                 "wall_s": round(stats.wall_s, 3),
                 "events_per_s": round(stats.events_per_s, 1),
             }

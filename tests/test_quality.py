@@ -1,0 +1,95 @@
+"""Runtime data-quality gates (reference test framework:
+plugins/operators/test.py:45-64 — mandatory failure aborts, optional
+warns; declarative specs like load_atomic.yaml / event_loss.yaml)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.cdc.apply import apply_batch
+from etl_spark.cdc.engine import CdcEngine
+from etl_spark.datagen import gen_changes
+from etl_spark.quality import (
+    GateFailure,
+    OPTIONAL,
+    QualityGate,
+    accepted_values,
+    default_transcript_gate,
+    fraction_check,
+    metric_check,
+    min_rows,
+    null_fraction,
+    value_range,
+)
+
+
+def test_standalone_evaluate_pass_and_fail(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "user"), ("b", 2, "assistant"), ("c", None, "user")],
+        ["id", "v", "role"],
+    )
+    gate = QualityGate([
+        null_fraction("id", 0.0),
+        null_fraction("v", 0.5),          # 1/3 nulls <= 0.5 → pass
+        accepted_values("role", ["user", "assistant"]),
+        min_rows(3),
+        value_range("v", lo=0, hi=10),
+        metric_check("max_v", F.max("v"), "<=", 2.0),
+    ])
+    report = gate.evaluate(df)
+    assert report.ok and all(r.passed for r in report.results)
+
+    strict = QualityGate([null_fraction("v", 0.0)])
+    with pytest.raises(GateFailure) as ei:
+        strict.enforce(df, context="stage-x")
+    (fail,) = ei.value.report.mandatory_failures
+    assert fail.name == "null_frac_v" and abs(fail.measured - 1 / 3) < 1e-9
+
+
+def test_optional_failure_warns_but_passes(spark):
+    df = spark.createDataFrame([("a",), (None,)], ["x"])
+    gate = QualityGate([null_fraction("x", 0.0, level=OPTIONAL)])
+    report = gate.enforce(df)  # must not raise
+    assert report.ok and len(report.warnings) == 1
+
+
+def test_gate_blocks_cdc_commit(spark, tmp_path):
+    """Mandatory violation in an epoch → nothing committed, epoch
+    unfenced, earlier epochs intact; removing the bad check lets the
+    retry converge."""
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    log = gen_changes(spark, 4_000, n_convs=50, n_epochs=2).cache()
+    ok_gate = default_transcript_gate()
+    apply_batch(eng.table, log.where(F.col("epoch") == 0).drop("epoch"),
+                epoch=0, gate=ok_gate)
+    rows_after_e0 = eng.table.snapshot_df().count()
+    sid_after_e0 = eng.table.current_snapshot_id
+
+    # a gate the data cannot satisfy: no conversation may exceed 1 turn
+    bad_gate = QualityGate(
+        [fraction_check("turn_cap", F.col("turn_idx") > 0, 0.0)]
+    )
+    e1 = log.where(F.col("epoch") == 1).drop("epoch")
+    with pytest.raises(GateFailure):
+        apply_batch(eng.table, e1, epoch=1, gate=bad_gate)
+    eng.table.refresh()
+    assert eng.table.current_snapshot_id == sid_after_e0
+    assert eng.table.committed_epoch("default") == 0
+    assert eng.table.snapshot_df().count() == rows_after_e0
+
+    # corrected retry (same epoch) commits
+    stats = apply_batch(eng.table, e1, epoch=1, gate=ok_gate)
+    assert stats.snapshot_id is not None
+    assert stats.gate is not None and stats.gate["ok"]
+    assert eng.table.committed_epoch("default") == 1
+    log.unpersist()
+
+
+def test_gate_row_filter_ignores_deletes(spark, tmp_path):
+    """Delete events carry NULL payload; the apply's gate scope (op<>'D')
+    must not count them as nullness violations."""
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=2)
+    log = gen_changes(spark, 3_000, n_convs=30, n_epochs=1).drop("epoch")
+    assert log.where((F.col("op") == "D") & F.col("role").isNull()).count() > 0
+    gate = QualityGate([null_fraction("role", 0.0)])
+    stats = apply_batch(eng.table, log, epoch=0, gate=gate)  # must not raise
+    assert stats.gate["ok"]
