@@ -89,6 +89,14 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--allowed-lateness-hours", type=float, default=2.0)
     cp.add_argument("--force-close-after-hours", type=float, default=12.0)
 
+    rr = sub.add_parser(
+        "refresh-rollups",
+        help="incrementally recompute daily/weekly/monthly rollups for "
+        "closed (or restated) day partitions",
+    )
+    rr.add_argument("--table", required=True)
+    rr.add_argument("--out", required=True, help="rollup dataset root")
+
     d = sub.add_parser("gdpr-delete")
     d.add_argument("--table", required=True)
     d.add_argument("--conv-ids", required=True, help="comma-separated conversation ids to erase")
@@ -178,6 +186,13 @@ def main(argv: list[str] | None = None) -> int:
                 {"day": r["day"], "leaf": r["leaf"]} for r in restatements(eng.table)
             ],
         }))
+        return 0
+
+    if args.cmd == "refresh-rollups":
+        from etl_spark.rollups import refresh_rollups
+
+        eng = CdcEngine(spark, args.table)
+        print(json.dumps(refresh_rollups(eng.table, args.out)))
         return 0
 
     if args.cmd == "gdpr-delete":

@@ -1,0 +1,159 @@
+"""Derivates layer: daily / weekly / monthly rollups over the
+transcripts table, incrementally maintained.
+
+Reference analogue: insert_user_history_derivates.sql —
+``_user_history_daily`` rebuilt by delete+insert of the run day
+(:9-23), weekly/monthly via ``DATE_TRUNC(date_, WEEK(MONDAY)/MONTH)``
+(:26-45), plus ``CREATE OR REPLACE VIEW`` publication.
+
+Engine shape, designed for the 100 TB case:
+  * The refresh trigger is the partition-close lifecycle
+    (cdc/partitions.py): a day is (re)computed only when it is CLOSED
+    and its underlying file-leaf set changed since the last refresh —
+    restatements re-state exactly the affected days (the reference's
+    D-2/D-1/D re-run cascade, DAG_external_source.py:132-224).
+  * Each day's recompute reads the source through the time-pruned
+    ``snapshot_df(ts_min, ts_max)`` path — O(day), never O(table).
+  * The sink is a day-partitioned parquet dataset written with DYNAMIC
+    partition overwrite: only the recomputed day directories are
+    replaced (delete+insert per partition, S7). A crash mid-refresh
+    leaves replaceable partials; the state file is written last, so the
+    next run redoes exactly the unfinished days (idempotent).
+  * Weekly/monthly grains recompute per affected week/month from the
+    source with the same pruned window — COUNT(DISTINCT conv_id) does
+    not fold from daily rows, so rolling up the rollup would be wrong.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cdc.partitions import _leaves_for_day, closed_partitions
+from .lake.table import LakeTable, _atomic_write_text
+
+STATE_FILE = "_rollup_state.json"
+
+
+def _measures(df: DataFrame) -> list:
+    return [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("conv_id").alias("active_convs"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("tool_calls"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("total_chars"),
+    ]
+
+
+def _week_start(day: dt.date) -> dt.date:
+    return day - dt.timedelta(days=day.weekday())  # Monday (WEEK(MONDAY))
+
+
+def _month_start(day: dt.date) -> dt.date:
+    return day.replace(day=1)
+
+
+def _load_state(dst_root: str) -> dict:
+    p = os.path.join(dst_root, STATE_FILE)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        txt = f.read().strip()
+    return json.loads(txt) if txt else {}
+
+
+def _write_grain(
+    df: DataFrame, out_dir: str, part_col: str
+) -> None:
+    """Delete+insert per partition: dynamic overwrite replaces only the
+    partitions present in ``df`` (reference derivates :9-23)."""
+    (
+        df.repartition(F.col(part_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(out_dir)
+    )
+
+
+def _window_agg(src: LakeTable, lo: dt.date, hi_exclusive: dt.date,
+                part_col: str, part_value: str) -> DataFrame:
+    """Aggregate one [lo, hi) window of the source via the pruned read."""
+    end = dt.datetime.combine(hi_exclusive, dt.time()) - dt.timedelta(microseconds=1)
+    state = src.snapshot_df(ts_min=dt.datetime.combine(lo, dt.time()), ts_max=end)
+    return state.agg(*_measures(state)).select(
+        F.lit(part_value).alias(part_col), "*"
+    )
+
+
+def refresh_rollups(src: LakeTable, dst_root: str) -> dict:
+    """Bring the daily/weekly/monthly rollups up to date with the
+    source's closed partitions. Returns {"days": [...], "weeks": [...],
+    "months": [...]} actually recomputed (empty lists = nothing to do).
+    """
+    src.refresh()
+    os.makedirs(dst_root, exist_ok=True)
+    state = _load_state(dst_root)
+    closed = closed_partitions(src)
+
+    need: list[str] = []
+    leaves_now: dict[str, list[str]] = {}
+    for day in sorted(closed):
+        leaves = sorted(_leaves_for_day(src, day))
+        leaves_now[day] = leaves
+        if state.get(day) != leaves:
+            need.append(day)
+    if not need:
+        return {"days": [], "weeks": [], "months": []}
+
+    spark = src.spark
+
+    # -- daily: one pruned scan covering the needed span, exact day filter
+    days_d = [dt.date.fromisoformat(d) for d in need]
+    lo = dt.datetime.combine(min(days_d), dt.time())
+    hi = dt.datetime.combine(max(days_d) + dt.timedelta(days=1), dt.time())
+    hi -= dt.timedelta(microseconds=1)
+    span = src.snapshot_df(ts_min=lo, ts_max=hi)
+    daily = (
+        span.withColumn("day_", F.to_date(F.col(src.stats_col)).cast("string"))
+        .where(F.col("day_").isin(need))
+        .groupBy("day_")
+        .agg(*_measures(span))
+    )
+    _write_grain(daily, os.path.join(dst_root, "daily"), "day_")
+
+    # -- weekly / monthly: recompute each affected period from source
+    weeks = sorted({_week_start(d) for d in days_d})
+    for w in weeks:
+        wdf = _window_agg(src, w, w + dt.timedelta(days=7), "week_start", str(w))
+        _write_grain(wdf, os.path.join(dst_root, "weekly"), "week_start")
+    months = sorted({_month_start(d) for d in days_d})
+    for m in months:
+        nxt = (m.replace(day=28) + dt.timedelta(days=4)).replace(day=1)
+        mdf = _window_agg(src, m, nxt, "month_", str(m)[:7])
+        _write_grain(mdf, os.path.join(dst_root, "monthly"), "month_")
+
+    # state last: a crash above simply redoes these days next run
+    state.update({d: leaves_now[d] for d in need})
+    _atomic_write_text(os.path.join(dst_root, STATE_FILE), json.dumps(state, indent=1))
+    return {
+        "days": need,
+        "weeks": [str(w) for w in weeks],
+        "months": [str(m)[:7] for m in months],
+    }
+
+
+def create_rollup_views(spark, dst_root: str) -> list[str]:
+    """Publish the rollup datasets as SQL views (reference
+    insert_user_history_derivates.sql:26-45 CREATE OR REPLACE VIEW)."""
+    out = []
+    for grain in ("daily", "weekly", "monthly"):
+        p = os.path.join(dst_root, grain)
+        if os.path.isdir(p):
+            name = f"rollup_{grain}"
+            spark.read.parquet(p).createOrReplaceTempView(name)
+            out.append(name)
+    return out
