@@ -149,6 +149,7 @@ class CdcEngine:
         source: str = "stream",
         max_files_per_trigger: int | None = 8,
         schema: T.StructType | None = None,
+        gate=None,
     ):
         """Tail the change log as a Structured Streaming file source.
 
@@ -192,7 +193,9 @@ class CdcEngine:
         stream_df = reader.parquet(change_log_dir)
 
         def _apply(batch_df, batch_id: int):
-            stats = apply_batch(self.table, batch_df, int(batch_id), source=source)
+            stats = apply_batch(
+                self.table, batch_df, int(batch_id), source=source, gate=gate
+            )
             self._record(source, stats)
 
         return (

@@ -89,6 +89,7 @@ class LakeTable:
         num_buckets: int = 16,
         compact_threshold: int = 8,
         if_not_exists: bool = False,
+        stats_col: str | None = "ts",
     ) -> "LakeTable":
         meta_dir = os.path.join(path, META_DIR)
         if os.path.exists(os.path.join(meta_dir, HINT)):
@@ -107,6 +108,7 @@ class LakeTable:
                 "num_buckets": num_buckets,
                 "key_cols": key_cols or ["conv_id", "turn_idx"],
                 "compact_threshold": compact_threshold,
+                "stats_col": stats_col,
             },
             "schemas": {"0": ts.to_json()},
             "current_schema_version": 0,
@@ -411,6 +413,25 @@ class LakeTable:
             if ts_max is not None:
                 df = df.where(F.col(col) <= F.lit(_parse_ts(ts_max)))
         return df.select(*self.schema().names())
+
+    def lookup(self, key_value) -> DataFrame:
+        """Point lookup by bucket key (e.g. one conv_id): prunes to the
+        key's single bucket, pushes the key equality below the LWW fold
+        (it commutes with the per-key argmax) so the parquet scan skips
+        row groups via dictionary/stats filters, then folds only the
+        surviving rows. The read path a transcript-serving API would use —
+        O(one bucket's matching row groups), never O(table)."""
+        b = (
+            self.spark.createDataFrame([(key_value,)], [self.bucket_key])
+            .select(self.bucket_expr(F.col(self.bucket_key)).alias("b"))
+            .first()["b"]
+        )
+        raw = self.read_buckets([int(b)], with_internal=True, fold=False)
+        hit = raw.where(F.col(self.bucket_key) == F.lit(key_value))
+        folded = self._lww_fold(hit)
+        return folded.where(~F.coalesce(F.col("_tombstone"), F.lit(False))).select(
+            *self.schema().names()
+        )
 
     def watermark_any(self) -> str | None:
         """Max high-water mark across all sources (freshness stamp for

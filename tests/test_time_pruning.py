@@ -99,3 +99,16 @@ def test_pruning_after_compaction(table):
         (full.ts >= pd.Timestamp(lo)) & (full.ts <= pd.Timestamp(hi))
     ].reset_index(drop=True)
     assert_pdf_equal(got, want, ["conv_id", "turn_idx"])
+
+
+def test_point_lookup_matches_snapshot(table):
+    full = table.snapshot_df().toPandas()
+    victim = full.conv_id.iloc[0]
+    got = table.lookup(victim).toPandas()
+    want = full[full.conv_id == victim].reset_index(drop=True)
+    assert_pdf_equal(got, want, ["conv_id", "turn_idx"])
+    # the lookup plan must push the key equality into the parquet scan
+    plan = table.read_buckets([0], fold=False).where(
+        __import__("pyspark.sql.functions", fromlist=["col"]).col("conv_id") == victim
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(conv_id" in plan
