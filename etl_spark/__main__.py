@@ -97,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
     rr.add_argument("--table", required=True)
     rr.add_argument("--out", required=True, help="rollup dataset root")
 
+    lk = sub.add_parser(
+        "lookup", help="point-read one conversation (bucket-pruned, pushed-down)"
+    )
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--conv-id", required=True)
+
     d = sub.add_parser("gdpr-delete")
     d.add_argument("--table", required=True)
     d.add_argument("--conv-ids", required=True, help="comma-separated conversation ids to erase")
@@ -193,6 +199,14 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = CdcEngine(spark, args.table)
         print(json.dumps(refresh_rollups(eng.table, args.out)))
+        return 0
+
+    if args.cmd == "lookup":
+        eng = CdcEngine(spark, args.table)
+        rows = eng.table.lookup(args.conv_id).orderBy("turn_idx").collect()
+        for r in rows:
+            print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+        print(json.dumps({"conv_id": args.conv_id, "turns": len(rows)}))
         return 0
 
     if args.cmd == "gdpr-delete":

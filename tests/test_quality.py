@@ -93,3 +93,20 @@ def test_gate_row_filter_ignores_deletes(spark, tmp_path):
     gate = QualityGate([null_fraction("role", 0.0)])
     stats = apply_batch(eng.table, log, epoch=0, gate=gate)  # must not raise
     assert stats.gate["ok"]
+
+
+def test_blocked_commit_orphan_is_vacuumable(spark, tmp_path):
+    """The delta written before a gate block is an orphan: invisible to
+    readers, reclaimed by vacuum, and the age guard protects it only
+    until it ages out."""
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=2)
+    log = gen_changes(spark, 2_000, n_convs=20, n_epochs=1).drop("epoch")
+    bad = QualityGate([fraction_check("impossible", F.lit(True), 0.0)])
+    with pytest.raises(GateFailure):
+        apply_batch(eng.table, log, epoch=0, gate=bad)
+    assert eng.table.snapshot_df().count() == 0
+    stats = eng.table.vacuum(min_age_seconds=0)
+    assert stats["removed_data_dirs"] > 0  # the orphan delta
+    # table still consistent and writable after reclaim
+    apply_batch(eng.table, log, epoch=0)
+    assert eng.table.snapshot_df().count() > 0
