@@ -241,13 +241,25 @@ def embedding_near_dups(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block: int | None = 10_000,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ threshold) within a block."""
+    """Near-duplicate vector pairs (cosine ≥ threshold) within a block.
+
+    ``max_block`` guards the quadratic stage: blocks with more members are
+    excluded (route them through the LSH top-k path instead) so the worst
+    block costs ≤ max_block² comparisons at any corpus size.
+    """
     from . import ensure_parallelism
 
     base = ensure_parallelism(vectors).select(
         F.col(block_col).alias("_blk"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
+    if max_block is not None:
+        small = (
+            base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_block).select("_blk")
+        )
+        base = base.join(small, "_blk", "left_semi")
     left = base.select("_blk", F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
     right = base.select("_blk", F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
     return (

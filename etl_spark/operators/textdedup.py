@@ -226,6 +226,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     length_bucket: int = 200,
+    max_block: int | None = 10_000,
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs within a blocking key.
 
@@ -234,6 +235,12 @@ def ngram_jaccard_pairs(
     pairwise blow-up by ~the number of buckets while keeping real dups
     co-blocked (classic blocked pairwise comparison — at scale the block
     is any cheap pre-cluster: source, language, length, an LSH bucket).
+
+    ``max_block`` is the quadratic-blow-up guard: blocks with more members
+    are dropped from the pairwise stage entirely (compare them with the
+    MinHash/LSH path instead — same policy as the LSH hot-bucket cap).
+    Without it a single 10^8-doc block would melt any cluster; with it
+    the worst block costs ≤ max_block² comparisons.
     """
     blk = F.concat_ws(
         "#",
@@ -247,6 +254,12 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         char_shingles(F.col(text_col), n).alias("_sh"),
     )
+    if max_block is not None:
+        small = (
+            base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_block).select("_blk")
+        )
+        base = base.join(small, "_blk", "left_semi")
     left = base.select("_blk", F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
     right = base.select("_blk", F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
     return (

@@ -119,11 +119,15 @@ WITH base AS (
                                     i -> substr(lower(trim(text)), i, 5))
                 ELSE [lower(trim(text))] END) AS sh
   FROM documents
+), big AS (
+  SELECT blk FROM base GROUP BY blk HAVING count(*) > 10000
+), base_kept AS (
+  SELECT base.* FROM base ANTI JOIN big ON base.blk = big.blk
 )
 SELECT a.id AS doc_a, b.id AS doc_b,
        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+FROM base_kept a JOIN base_kept b ON a.blk = b.blk AND a.id < b.id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
 """
@@ -141,12 +145,16 @@ _EMB_DUP_ORACLE = """
 WITH v AS (
   SELECT label AS blk, vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
   FROM embeddings
+), vbig AS (
+  SELECT blk FROM v GROUP BY blk HAVING count(*) > 10000
+), v_kept AS (
+  SELECT v.* FROM v ANTI JOIN vbig ON v.blk = vbig.blk
 )
 SELECT a.id AS id_a, b.id AS id_b,
        round(list_dot_product(a.e, b.e)
              / (sqrt(list_dot_product(a.e, a.e))
               * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_r
-FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id
+FROM v_kept a JOIN v_kept b ON a.blk = b.blk AND a.id < b.id
 WHERE list_dot_product(a.e, b.e)
       / (sqrt(list_dot_product(a.e, a.e))
        * sqrt(list_dot_product(b.e, b.e))) >= 0.30
