@@ -76,6 +76,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
     )
+    if master.startswith("local"):
+        # Local-mode shuffle never crosses a network — blocks round-trip
+        # through the page cache — so lz4-compressing them is pure CPU
+        # overhead on the ingest's wide text rows (measured ~12% of 40M-event
+        # replay wall at 32 threads). On a real cluster leave compression ON:
+        # there the shuffle is network-bound and compression wins.
+        builder = (
+            builder.config("spark.shuffle.compress", "false")
+            .config("spark.shuffle.spill.compress", "false")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
