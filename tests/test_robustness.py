@@ -97,3 +97,46 @@ def test_random_logs_converge_to_argmax(spark, tmp_path, seed):
         epoch += 1
     got = {(r.conv_id, r.turn_idx): r.text for r in eng.table.snapshot_df().collect()}
     assert got == want
+
+
+def test_racing_writers_never_share_data_paths(spark, tmp_path):
+    """Two writers that loaded the same table version write to DISTINCT
+    attempt-unique directories, so the loser's mode=overwrite write can
+    never clobber the winner's committed files; the metadata reservation
+    alone arbitrates, and the winner's rows survive intact."""
+    path = str(tmp_path / "tbl")
+    eng = CdcEngine(spark, path, num_buckets=4)
+    apply_batch(eng.table, _batch(spark, [
+        ("I", "c1", 0, "user", "seed", None, T("2025-01-01 00:00:00"),
+         T("2025-01-01 00:00:01"), 1)]), epoch=0)
+
+    winner = LakeTable(spark, path)
+    loser = LakeTable(spark, path)  # same loaded version as winner
+
+    def staged(t, text, lsn):
+        df = t.snapshot_df().limit(1).select(
+            F.col("conv_id"), F.col("turn_idx"), F.col("role"),
+            F.lit(text).alias("text"), F.col("tool"), F.col("ts"),
+            F.to_timestamp(F.lit("2025-01-01 00:01:00")).alias("_op_ts"),
+            F.lit(lsn).cast("long").alias("_lsn"),
+            F.lit(False).alias("_tombstone"),
+            t.bucket_expr(F.col("conv_id")).alias("_bucket"),
+        )
+        rel = t.new_data_rel("delta")
+        t.write_files(df, rel)
+        return rel
+
+    rel_w = staged(winner, "winner", 10)
+    rel_l = staged(loser, "loser", 5)
+    assert rel_w != rel_l  # attempt-unique paths — the ADVICE race is gone
+
+    buckets = [r["_b"] for r in winner.spark.createDataFrame(
+        [("c1",)], ["conv_id"]).select(
+        winner.bucket_expr(F.col("conv_id")).alias("_b")).collect()]
+    winner.commit_delta(1, "default", rel_w, buckets)
+    with pytest.raises(ConcurrentCommitError):
+        loser.commit_delta(1, "default", rel_l, buckets)
+
+    fresh = LakeTable(spark, path)
+    texts = {r.text for r in fresh.snapshot_df().collect()}
+    assert "winner" in texts and "loser" not in texts
