@@ -112,3 +112,38 @@ def test_point_lookup_matches_snapshot(table):
         __import__("pyspark.sql.functions", fromlist=["col"]).col("conv_id") == victim
     )._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(conv_id" in plan
+
+
+@pytest.mark.parametrize("seed", [3, 17, 404])
+def test_random_windows_equal_filtered_full(spark, tmp_path, seed):
+    """Property: for random logs (with deletes and a GDPR erasure) and
+    random time windows, snapshot_df(ts_min, ts_max) == full snapshot
+    filtered to the window — file-set pruning must never change results."""
+    import random
+
+    from etl_spark.cdc.engine import CdcEngine
+    from etl_spark.cdc.maintenance import delete_conversations
+    from etl_spark.datagen import gen_changes
+
+    rng = random.Random(seed)
+    eng = CdcEngine(spark, str(tmp_path / f"t{seed}"), num_buckets=4)
+    log = gen_changes(spark, 5_000, n_convs=40, n_epochs=3, seed=seed).cache()
+    for ep in range(3):
+        apply_batch(eng.table, log.where(F.col("epoch") == ep).drop("epoch"), epoch=ep)
+    victim = eng.table.snapshot_df().select("conv_id").first().conv_id
+    delete_conversations(eng.table, [victim], request_id=1)
+    log.unpersist()
+
+    full = eng.table.snapshot_df().toPandas()
+    tmin, tmax = full.ts.min(), full.ts.max()
+    span = (tmax - tmin).total_seconds()
+    for _ in range(4):
+        a = tmin + pd.Timedelta(seconds=rng.uniform(0, span))
+        b = tmin + pd.Timedelta(seconds=rng.uniform(0, span))
+        lo, hi = min(a, b), max(a, b)
+        got = eng.table.snapshot_df(ts_min=lo, ts_max=hi).toPandas()
+        want = full[(full.ts >= lo) & (full.ts <= hi)].reset_index(drop=True)
+        if len(want) == 0:
+            assert len(got) == 0
+            continue
+        assert_pdf_equal(got, want, ["conv_id", "turn_idx"])
