@@ -231,6 +231,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "show":
+        from etl_spark.cdc.partitions import closed_partitions, list_days
+
         eng = CdcEngine(spark, args.table)
         df = eng.table.snapshot_df()
         print(json.dumps({
@@ -239,6 +241,11 @@ def main(argv: list[str] | None = None) -> int:
             "committed_epochs": eng.table._meta["committed_epochs"],
             "watermarks": eng.table._meta.get("watermarks", {}),
             "snapshot_id": eng.table.current_snapshot_id,
+            "days": list_days(eng.table),
+            "closed_partitions": {
+                d: m["mode"] for d, m in closed_partitions(eng.table).items()
+            },
+            "outstanding_delta_commits": eng.table.delta_counts(),
         }, indent=1))
         for row in eng.lineage.rows()[-args.limit:]:
             print(json.dumps(row))
