@@ -152,3 +152,68 @@ def test_fresh_checkpoint_does_not_drop_data(spark, stream_log, tmp_path):
     assert eng2.table.snapshot_df().count() == rows_first
     applied = [r for r in eng2.lineage.rows() if not r["skipped"]]
     assert len(applied) > 1  # second pass actually processed (not fenced away)
+
+
+def test_gated_stream_blocks_then_recovers(spark, tmp_path):
+    """A mandatory gate violation inside foreachBatch fails the streaming
+    query with nothing committed; restarting with a passing gate replays
+    the same checkpointed batch and converges (exactly-once preserved
+    across the failure)."""
+    from pyspark.errors import StreamingQueryException
+
+    from etl_spark.quality import QualityGate, default_transcript_gate, fraction_check
+
+    log = str(tmp_path / "log")
+    changes = gen_changes(spark, 3_000, n_convs=40, n_epochs=1)
+    (changes.drop("epoch").repartition(2)
+     .write.mode("overwrite").parquet(f"{log}/epoch=00000"))
+    table_path, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+
+    eng = CdcEngine(spark, table_path, num_buckets=4)
+    bad = QualityGate([fraction_check("impossible", F.lit(True), 0.0)])
+    q = eng.stream(log, ckpt, gate=bad)
+    with pytest.raises(StreamingQueryException):
+        q.processAllAvailable()
+    q.stop()
+    eng.table.refresh()
+    assert eng.table.snapshot_df().count() == 0  # nothing committed
+
+    q2 = eng.stream(log, ckpt, gate=default_transcript_gate())
+    q2.processAllAvailable()
+    q2.stop()
+    eng.table.refresh()
+    got = eng.table.snapshot_df().toPandas()
+    assert_pdf_equal(got, _oracle(log), ["conv_id", "turn_idx"])
+
+
+def test_two_sources_merge_lww(spark, tmp_path):
+    """Two independently-fenced sources feeding one table: epochs fence
+    per source, and cross-source conflicts on the same key resolve by
+    (op_ts, lsn) exactly like same-source ones."""
+    from etl_spark.cdc.apply import apply_batch
+
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    a = gen_changes(spark, 2_000, n_convs=30, n_epochs=1, seed=1).drop("epoch")
+    b = gen_changes(spark, 2_000, n_convs=30, n_epochs=1, seed=2).drop("epoch")
+    apply_batch(eng.table, a, epoch=0, source="src_a")
+    apply_batch(eng.table, b, epoch=0, source="src_b")
+    # replays of either source fence independently
+    assert apply_batch(eng.table, a, epoch=0, source="src_a").skipped
+    assert apply_batch(eng.table, b, epoch=0, source="src_b").skipped
+    assert eng.table.committed_epoch("src_a") == 0
+    assert eng.table.committed_epoch("src_b") == 0
+
+    pdf = a.unionByName(b).toPandas()
+    con = duckdb.connect()
+    con.register("both_view", pdf)
+    want = con.execute("""
+        WITH ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                    ORDER BY op_ts DESC, lsn DESC) AS rn
+          FROM both_view
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """).df()
+    got = eng.table.snapshot_df().toPandas()
+    assert_pdf_equal(got, want, ["conv_id", "turn_idx"])
