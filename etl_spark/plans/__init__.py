@@ -142,6 +142,12 @@ def run_snapshot_pipeline(
     collapsed into one call for tests/backfills). Returns the final-day
     snapshot. In production each day's output would be MERGE-committed
     to a LakeTable and the loop driven by the scheduler."""
+    # NOTE(perf, measured): pre-partitioning events by user to elide the
+    # per-day agg/join exchanges was tried and is ~20% SLOWER here — the
+    # periodic localCheckpoint discards partitioning metadata, so the
+    # joins reshuffle regardless and the upfront repartition is pure
+    # cost. The per-day shuffles are small (post-agg, one row per active
+    # user); plan-depth bounding wins over shuffle elision.
     events = events.persist()  # one scan feeds every day's filter
     try:
         days = [
