@@ -55,6 +55,20 @@ def _plane_component(p: int, d) -> "F.Column":
     return (F.instr(F.lit(HEX), F.substring(h, 1, 1)) - 1).cast("double") - 7.5
 
 
+def _plane_values(p: int, dim: int) -> list[float]:
+    """Driver-side precompute of the SAME plane (bit-identical to
+    ``_plane_component``: hashlib and Spark md5 agree on hex digests).
+    The plane depends only on (p, component index), never on row data —
+    evaluating md5 per row per component would burn ~planes×dim hash
+    calls per vector for values that are constants."""
+    import hashlib
+
+    return [
+        float(HEX.index(hashlib.md5(f"p{p}|{d}".encode()).hexdigest()[0])) - 7.5
+        for d in range(dim)
+    ]
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -88,25 +102,31 @@ def cosine_topk(
 
 
 def lsh_table_signatures(
-    vec, num_tables: int = 6, planes_per_table: int = 4
+    vec, num_tables: int = 6, planes_per_table: int = 4, dim: int | None = None
 ) -> "F.Column":
     """Multi-table LSH: array of (tbl, sig) structs, one per hash table.
     Each table uses its own disjoint plane set (global plane index
     ``tbl * planes_per_table + p``). A single fine signature shatters the
     corpus into near-singleton buckets (recall collapses); L coarser
-    tables union their buckets — the classic recall/cost dial."""
-    dim = F.size(vec)
+    tables union their buckets — the classic recall/cost dial.
+
+    With ``dim`` known, the planes are precomputed driver-side and shipped
+    as array literals — the projection is a plain multiply-add over the
+    vector with zero per-row hashing. Without ``dim`` (ragged vectors) it
+    falls back to per-row md5 plane derivation — identical values,
+    ~10× the expression cost."""
 
     def _proj(gp: int):
-        return F.aggregate(
-            F.zip_with(
+        if dim is not None:
+            plane = F.array(*[F.lit(v) for v in _plane_values(gp, dim)])
+            pairs = F.zip_with(vec, plane, lambda x, w: x.cast("double") * w)
+        else:
+            pairs = F.zip_with(
                 vec,
-                F.sequence(F.lit(0), dim - 1),
+                F.sequence(F.lit(0), F.size(vec) - 1),
                 lambda x, i: x.cast("double") * _plane_component(gp, i),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+            )
+        return F.aggregate(pairs, F.lit(0.0), lambda acc, v: acc + v)
 
     tables = []
     for t in range(num_tables):
@@ -138,18 +158,59 @@ def lsh_cosine_topk(
     from . import ensure_parallelism
 
     vectors = ensure_parallelism(vectors)
-    corpus = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_v"),
-        F.explode(lsh_table_signatures(F.col(vec_col), num_tables, planes_per_table)).alias("_t"),
-    ).select("neighbor_id", "_v", F.col("_t.tbl").alias("_tbl"), F.col("_t.sig").alias("_sig"))
-    probes = queries.select(
-        F.col(query_id_col),
-        F.col(query_vec_col).alias("_qv"),
-        F.explode(
-            lsh_table_signatures(F.col(query_vec_col), num_tables, planes_per_table)
-        ).alias("_t"),
-    ).select(query_id_col, "_qv", F.col("_t.tbl").alias("_tbl"), F.col("_t.sig").alias("_sig"))
+    # one tiny probe fixes the dimensionality → literal precomputed planes
+    first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first is not None else None
+
+    def _signed(df, idc, vecc, id_alias, v_alias):
+        """(id, vec, tbl, sig) rows: projections computed ONCE per row via
+        a single transform over the 2-D plane literal, materialized behind
+        a projection boundary so the per-table sig assembly reads the
+        array instead of recomputing 24 aggregate trees (which bloats the
+        Catalyst plan ~24×: measured seconds of pure planning time)."""
+        if dim is None:  # empty corpus — signature shape only
+            return df.select(
+                F.col(idc).alias(id_alias), F.col(vecc).alias(v_alias),
+                F.explode(
+                    lsh_table_signatures(F.col(vecc), num_tables, planes_per_table)
+                ).alias("_t"),
+            ).select(id_alias, v_alias, F.col("_t.tbl").alias("_tbl"),
+                     F.col("_t.sig").alias("_sig"))
+        planes = F.array(*[
+            F.array(*[F.lit(v) for v in _plane_values(gp, dim)])
+            for gp in range(num_tables * planes_per_table)
+        ])
+        projs = F.transform(
+            planes,
+            lambda pl: F.aggregate(
+                F.zip_with(F.col(vecc), pl, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        staged = df.select(
+            F.col(idc).alias(id_alias), F.col(vecc).alias(v_alias),
+            projs.alias("_projs"),
+        )
+        tables = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.concat(*[
+                    F.when(
+                        F.col("_projs")[t * planes_per_table + p] > 0, F.lit("1")
+                    ).otherwise(F.lit("0"))
+                    for p in range(planes_per_table)
+                ]).alias("sig"),
+            )
+            for t in range(num_tables)
+        ]
+        return staged.select(
+            id_alias, v_alias, F.explode(F.array(*tables)).alias("_t")
+        ).select(id_alias, v_alias, F.col("_t.tbl").alias("_tbl"),
+                 F.col("_t.sig").alias("_sig"))
+
+    corpus = _signed(vectors, id_col, vec_col, "neighbor_id", "_v")
+    probes = _signed(queries, query_id_col, query_vec_col, query_id_col, "_qv")
     cand = (
         F.broadcast(probes)
         .join(corpus, ["_tbl", "_sig"])
