@@ -73,6 +73,37 @@ class TableSchema:
     def names(self) -> list[str]:
         return [f.name for f in self.fields]
 
+    def by_id(self) -> dict[int, Field]:
+        return {f.id: f for f in self.fields}
+
+    def rename_column(self, old: str, new: str) -> tuple["TableSchema", str]:
+        """Rename a column keeping its field ID (Iceberg-style): data files
+        written under the old name keep resolving via the ID, and a later
+        re-add of ``old`` gets a fresh ID that never remaps old bytes."""
+        names = {f.name for f in self.fields}
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        fields = [
+            Field(f.id, new, f.type, f.nullable) if f.name == old else f
+            for f in self.fields
+        ]
+        f = next(f for f in self.fields if f.name == old)
+        return TableSchema(fields, self.next_field_id), f"rename {old} -> {new} (id={f.id})"
+
+    def drop_column(self, name: str) -> tuple["TableSchema", str]:
+        """Drop a column (metadata-only). Its field ID is retired forever:
+        a later add of the same name allocates a new ID, so old data files
+        do NOT resurrect under the re-added column (Iceberg semantics)."""
+        f = next((f for f in self.fields if f.name == name), None)
+        if f is None:
+            raise ValueError(f"no such column: {name!r}")
+        return (
+            TableSchema([x for x in self.fields if x.name != name], self.next_field_id),
+            f"drop {name} (id={f.id})",
+        )
+
     # -- evolution ---------------------------------------------------------
 
     def evolve_to_accept(self, incoming: T.StructType) -> tuple["TableSchema", list[str]]:
@@ -115,6 +146,38 @@ class TableSchema:
 
 def _parse_type(ddl: str) -> T.DataType:
     return T.StructType.fromDDL(f"`x` {ddl}")[0].dataType
+
+
+def project_written(
+    df: DataFrame,
+    written: TableSchema,
+    current: TableSchema,
+    keep_extra: list[str] | None = None,
+) -> DataFrame:
+    """Read-side schema resolution BY FIELD ID (Iceberg-style name mapping).
+
+    ``df`` holds rows of a data file set written under schema ``written``;
+    project it onto ``current``: each current field resolves to the written
+    column with the SAME FIELD ID (whatever it was named at write time),
+    cast to the current (possibly widened) type. Current fields with no
+    ID match in the written schema — added later, or dropped-and-readded
+    under a recycled name — are NULL-filled, never name-matched, so a
+    readd can't resurrect old bytes (the guarantee name-based alignment
+    cannot give). ``keep_extra`` engine internals pass through by name.
+    """
+    have = {f.name for f in df.schema.fields}
+    written_by_id = written.by_id()
+    cols = []
+    for f in current.fields:
+        w = written_by_id.get(f.id)
+        if w is not None and w.name in have:
+            cols.append(F.col(w.name).cast(_parse_type(f.type)).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(_parse_type(f.type)).alias(f.name))
+    for name in keep_extra or []:
+        if name in have:
+            cols.append(F.col(name))
+    return df.select(*cols)
 
 
 def align(df: DataFrame, schema: TableSchema, keep_extra: list[str] | None = None) -> DataFrame:

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .schema import TableSchema, align
+from .schema import TableSchema, align, project_written
 
 META_DIR = "_meta"
 HINT = "version-hint.text"
@@ -72,10 +72,16 @@ class ConcurrentCommitError(RuntimeError):
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, at_version: int | None = None):
         self.spark = spark
         self.path = path.rstrip("/")
-        self._meta = self._load_meta()
+        # Time travel: pin all reads to metadata version ``at_version``
+        # (Iceberg ``VERSION AS OF``). A pinned table is read-only; write
+        # paths are inherently fenced anyway (committing v+1 when v+1
+        # already exists raises ConcurrentCommitError) but we fail earlier
+        # with a clear message.
+        self._pinned = at_version is not None
+        self._meta = self._load_meta(at_version)
 
     # -- creation / metadata ------------------------------------------------
 
@@ -127,15 +133,35 @@ class LakeTable:
     def exists(path: str) -> bool:
         return os.path.exists(os.path.join(path, META_DIR, HINT))
 
-    def _load_meta(self) -> dict:
-        hint = os.path.join(self.path, META_DIR, HINT)
-        with open(hint) as f:
-            v = int(f.read().strip())
-        with open(os.path.join(self.path, META_DIR, f"v{v}.json")) as f:
+    def _load_meta(self, at_version: int | None = None) -> dict:
+        if at_version is None:
+            hint = os.path.join(self.path, META_DIR, HINT)
+            with open(hint) as f:
+                v = int(f.read().strip())
+        else:
+            v = int(at_version)
+        target = os.path.join(self.path, META_DIR, f"v{v}.json")
+        if not os.path.exists(target):
+            raise FileNotFoundError(
+                f"metadata version {v} not found at {target}"
+                + (" (expired by vacuum?)" if at_version is not None else "")
+            )
+        with open(target) as f:
             return json.load(f)
 
     def refresh(self) -> None:
+        if self._pinned:
+            return  # time-travel reader stays pinned
         self._meta = self._load_meta()
+
+    def as_of(self, version: int) -> "LakeTable":
+        """Time-travel reader: the table as of metadata ``version``
+        (Iceberg ``VERSION AS OF``). Every read API (``snapshot_df``,
+        ``read_buckets``, ``lookup``, ``plan_file_sets``) resolves against
+        that version's file sets and schema; writes raise. Versions live
+        until ``vacuum`` retires them (``keep_meta_versions``) — a pruned
+        version raises FileNotFoundError with an expiry hint."""
+        return LakeTable(self.spark, self.path, at_version=version)
 
     @property
     def version(self) -> int:
@@ -176,6 +202,10 @@ class LakeTable:
         return TableSchema.from_json(
             self._meta["schemas"][str(self._meta["current_schema_version"])]
         )
+
+    def written_schema(self, schema_version: int) -> TableSchema:
+        """The schema a file set was written under (schema-on-read input)."""
+        return TableSchema.from_json(self._meta["schemas"][str(schema_version)])
 
     def snapshots(self) -> list[dict]:
         return list(self._meta["snapshots"])
@@ -368,7 +398,10 @@ class LakeTable:
         parts = []
         for sv, paths in sorted(by_sv.items()):
             df = self.spark.read.parquet(*paths)
-            part = align(df, schema, keep_extra=internal)
+            # resolve by FIELD ID against the schema each file set was
+            # written with: renames map, dropped-and-readded names NULL
+            part = project_written(df, self.written_schema(sv), schema,
+                                   keep_extra=internal)
             # _bucket is a partition directory on disk, not a stored column —
             # recompute it (same deterministic expr as the write path)
             if internal and "_bucket" not in part.columns:
@@ -447,12 +480,50 @@ class LakeTable:
         new_schema, changes = self.schema().evolve_to_accept(incoming)
         if not changes:
             return []
+        self._commit_schema(new_schema)
+        return changes
+
+    def _commit_schema(self, new_schema: TableSchema) -> None:
         meta = json.loads(json.dumps(self._meta))
         sv = meta["current_schema_version"] + 1
         meta["schemas"][str(sv)] = new_schema.to_json()
         meta["current_schema_version"] = sv
         self._commit_meta(meta)
-        return changes
+
+    def rename_column(self, old: str, new: str) -> str:
+        """Rename a column, keeping its field ID — all existing data files
+        (written under any older schema version) resolve to the new name
+        at read time via ``project_written``; no data is rewritten.
+        Partition-role names (bucket key, LWW key columns, stats column)
+        follow the rename so the table keeps functioning."""
+        new_schema, change = self.schema().rename_column(old, new)
+        meta = json.loads(json.dumps(self._meta))
+        part = meta["partition"]
+        if part["bucket_key"] == old:
+            part["bucket_key"] = new
+        part["key_cols"] = [new if c == old else c for c in part["key_cols"]]
+        if part.get("stats_col") == old:
+            part["stats_col"] = new
+        sv = meta["current_schema_version"] + 1
+        meta["schemas"][str(sv)] = new_schema.to_json()
+        meta["current_schema_version"] = sv
+        self._commit_meta(meta)
+        return change
+
+    def drop_column(self, name: str) -> str:
+        """Drop a column (metadata-only; bytes die at next compaction /
+        vacuum). Key, bucket, and stats columns cannot be dropped. The
+        field ID is retired: re-adding ``name`` later allocates a fresh ID,
+        and old files' bytes stay NULL under it (Iceberg semantics)."""
+        part = self._meta["partition"]
+        protected = set(part["key_cols"]) | {part["bucket_key"]}
+        if part.get("stats_col"):
+            protected.add(part["stats_col"])
+        if name in protected:
+            raise ValueError(f"cannot drop key/bucket/stats column {name!r}")
+        new_schema, change = self.schema().drop_column(name)
+        self._commit_schema(new_schema)
+        return change
 
     # -- writes ----------------------------------------------------------------
 
@@ -633,6 +704,8 @@ class LakeTable:
     MAX_SNAPSHOT_LOG = 512
 
     def _commit_meta(self, meta: dict) -> None:
+        if self._pinned:
+            raise RuntimeError("time-travel reader (as_of) is read-only")
         # bound the embedded snapshot log: per-commit metadata cost must be
         # O(1), not O(history) — a 10^6-epoch stream would otherwise
         # serialize an ever-growing document on every commit. Consumers of
@@ -677,6 +750,8 @@ class LakeTable:
         """
         import shutil
 
+        if self._pinned:
+            raise RuntimeError("time-travel reader (as_of) is read-only")
         self.refresh()
         now = time.time()
 

@@ -1,0 +1,139 @@
+"""Field-ID schema resolution (rename / drop / readd) and time travel.
+
+Iceberg-spec semantics the name-based reference diff cannot give
+(/root/reference/dataproc-appsflyer/spark_job_data_locker.py:283-312 is
+name-keyed): renames resolve old data files by field ID with no rewrite,
+and a dropped-then-readded column name gets a fresh ID so old bytes never
+resurrect. Time travel = Iceberg ``VERSION AS OF`` over retained metadata
+versions.
+"""
+
+import datetime as dt
+
+import pytest
+
+from etl_spark.cdc.apply import apply_batch
+from etl_spark.cdc.engine import CHANGE_SCHEMA, CdcEngine
+from etl_spark.lake.table import LakeTable
+
+T = lambda s: dt.datetime.fromisoformat(s)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, schema=CHANGE_SCHEMA)
+
+
+def _mk(spark, tmp_path, name="tbl"):
+    eng = CdcEngine(spark, str(tmp_path / name), num_buckets=4)
+    apply_batch(eng.table, _batch(spark, [
+        ("I", "c1", 0, "user", "hello", None, T("2025-01-01 00:00:00"),
+         T("2025-01-01 00:00:01"), 1),
+        ("I", "c1", 1, "assistant", "world", "search", T("2025-01-01 00:05:00"),
+         T("2025-01-01 00:00:02"), 2),
+    ]), epoch=0)
+    return eng.table
+
+
+def test_rename_resolves_old_files_by_field_id(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    change = t.rename_column("tool", "tool_name")
+    assert "rename tool -> tool_name" in change
+    got = {(r.conv_id, r.turn_idx): r.tool_name for r in t.snapshot_df().collect()}
+    # data written under the OLD name reads under the new one — no rewrite
+    assert got == {("c1", 0): None, ("c1", 1): "search"}
+    assert "tool" not in t.snapshot_df().columns
+
+
+def test_rename_key_and_stats_columns_follow(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("conv_id", "conversation_id")
+    t.rename_column("ts", "event_ts")
+    assert t.bucket_key == "conversation_id"
+    assert t.key_cols[0] == "conversation_id"
+    assert t.stats_col == "event_ts"
+    rows = t.snapshot_df().collect()
+    assert {r.conversation_id for r in rows} == {"c1"}
+    # point lookup still prunes to the renamed bucket key
+    assert t.lookup("c1").count() == 2
+    # time pruning still works against the renamed stats column
+    assert t.snapshot_df(ts_min="2025-01-01 00:03:00").count() == 1
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.drop_column("tool")
+    assert "tool" not in t.schema().names()
+    # readd the same NAME -> fresh field ID; old bytes must stay dead
+    import pyspark.sql.types as T_
+
+    t.evolve_schema(T_.StructType([T_.StructField("tool", T_.StringType())]))
+    got = {(r.conv_id, r.turn_idx): r.tool for r in t.snapshot_df().collect()}
+    assert got == {("c1", 0): None, ("c1", 1): None}
+
+
+def test_drop_protected_columns_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for col in ["conv_id", "turn_idx", "ts"]:
+        with pytest.raises(ValueError):
+            t.drop_column(col)
+    with pytest.raises(ValueError):
+        t.rename_column("role", "text")  # collision
+    with pytest.raises(ValueError):
+        t.rename_column("nope", "x")
+
+
+def test_rename_survives_compaction_and_new_writes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("text", "content")
+    # a post-rename write arrives under the NEW name (incoming resolution
+    # is name-based, like the reference's diff) and upserts the same keys
+    nb = _batch(spark, [
+        ("U", "c1", 0, "user", "hello-v2", None, T("2025-01-01 00:00:00"),
+         T("2025-01-01 00:10:00"), 3)]).withColumnRenamed("text", "content")
+    apply_batch(t, nb, epoch=1)
+    t.compact()
+    got = {(r.conv_id, r.turn_idx): r.content for r in t.snapshot_df().collect()}
+    assert got == {("c1", 0): "hello-v2", ("c1", 1): "world"}
+
+
+def test_time_travel_reads_old_version(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v0 = t.version
+    before = {(r.conv_id, r.turn_idx): r.text for r in t.snapshot_df().collect()}
+    apply_batch(t, _batch(spark, [
+        ("U", "c1", 0, "user", "rewritten", None, T("2025-01-01 00:00:00"),
+         T("2025-01-01 00:10:00"), 3),
+        ("D", "c1", 1, None, None, None, T("2025-01-01 00:05:00"),
+         T("2025-01-01 00:10:01"), 4),
+    ]), epoch=1)
+    now = {(r.conv_id, r.turn_idx): r.text for r in t.snapshot_df().collect()}
+    assert now == {("c1", 0): "rewritten"}
+
+    old = t.as_of(v0)
+    got = {(r.conv_id, r.turn_idx): r.text for r in old.snapshot_df().collect()}
+    assert got == before  # pre-update, pre-delete state
+    # pinned reader is read-only and stays pinned across refresh()
+    old.refresh()
+    assert old.version == v0
+    with pytest.raises(RuntimeError):
+        old.drop_column("tool")
+
+
+def test_time_travel_sees_old_schema(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v0 = t.version
+    t.rename_column("tool", "tool_name")
+    assert "tool" in t.as_of(v0).snapshot_df().columns
+    assert "tool_name" in t.snapshot_df().columns
+
+
+def test_time_travel_expired_version_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v0 = t.version
+    for i in range(4):  # push v0 out of the retained window
+        apply_batch(t, _batch(spark, [
+            ("U", "c1", 0, "user", f"v{i}", None, T("2025-01-01 00:00:00"),
+             T(f"2025-01-01 01:00:0{i}"), 10 + i)]), epoch=1 + i)
+    t.vacuum(keep_meta_versions=2, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError, match="expired"):
+        t.as_of(v0)
