@@ -130,18 +130,87 @@ def advance_snapshot(
     return joined.select(*cols)
 
 
+# Totals formulas the backfill optimizer recognizes as associative +
+# commutative + NULL-transparent: folding them day-by-day equals one
+# aggregate over all active days (both skip NULL operands — the day loop
+# via its seeding whens, SQL aggregates by definition).
+_ASSOCIATIVE_FOLDS = {
+    "{prev} + {new}": F.sum,
+    "greatest({prev}, {new})": F.max,
+    "least({prev}, {new})": F.min,
+}
+
+
+def _algebraic_snapshot(
+    events: DataFrame,
+    fields: list[MaterializedField],
+    date_col: str,
+    user_col: str,
+) -> DataFrame:
+    """Whole-history backfill as ONE two-level aggregation (no day loop).
+
+    Equivalent to folding ``advance_snapshot`` over every day when all
+    totals formulas are associative: daily per-(user, day) metrics, then
+    a per-user fold where daily columns take the GLOBAL last day's value
+    (0 when inactive that day) and totals aggregate across active days.
+    Scale shape: two hash aggs + one broadcast of a single-row max-day —
+    at 10^10 events this is 2 shuffles, vs O(days) joins for the loop.
+    """
+    daily = daily_user_metrics_by_day(events, fields, date_col, user_col)
+    last = daily.agg(F.max(date_col).alias("_last_day"))
+    aggs = [
+        F.min(date_col).alias("registration_date"),
+        F.max("_last_day").alias("date_"),
+    ]
+    for f in fields:
+        on_last = F.when(F.col(date_col) == F.col("_last_day"), F.col(f.name))
+        aggs.append(F.coalesce(F.max(on_last), _zero(f)).alias(f.name))
+    for f in fields:
+        if f.totals:
+            fold = _ASSOCIATIVE_FOLDS[f.formula]
+            aggs.append(fold(F.col(f.name)).cast(f.data_type).alias(f"{f.name}_total"))
+    out = daily.crossJoin(F.broadcast(last)).groupBy(user_col).agg(*aggs)
+    names = [user_col, "registration_date", "date_"]
+    names += [f.name for f in fields] + [f"{f.name}_total" for f in fields if f.totals]
+    return out.select(*names)
+
+
+def daily_user_metrics_by_day(
+    events: DataFrame, fields: list[MaterializedField], date_col: str, user_col: str
+) -> DataFrame:
+    """Per-(user, day) metric values — the map side of the backfill."""
+    aggs = [
+        F.expr(f.select_expression).cast(f.data_type).alias(f.name) for f in fields
+    ]
+    return events.groupBy(user_col, date_col).agg(*aggs)
+
+
 def run_snapshot_pipeline(
     events: DataFrame,
     fields: list[MaterializedField],
     date_col: str = "date_",
     user_col: str = "unique_id",
+    algebraic: bool | None = None,
 ) -> DataFrame:
     """Batch helper: fold every day of ``events`` in order through
     ``advance_snapshot`` (the Airflow ``@daily catchup`` loop,
     /root/reference/etl/dags/user_history/DAG_user_history.py:47-51,
     collapsed into one call for tests/backfills). Returns the final-day
     snapshot. In production each day's output would be MERGE-committed
-    to a LakeTable and the loop driven by the scheduler."""
+    to a LakeTable and the loop driven by the scheduler.
+
+    ``algebraic`` (default auto): when every totals formula is a
+    recognized associative fold (running sum / greatest / least), the
+    day loop is replaced by ``_algebraic_snapshot`` — identical result,
+    two shuffles instead of O(days) joins. Pass ``False`` to force the
+    iterative plan (the true daily-incremental path), ``True`` to demand
+    the fast path (raises if a formula isn't associative). Non-reorderable
+    formulas (e.g. ``{prev} * decay + {new}``) always take the loop."""
+    foldable = all(f.formula in _ASSOCIATIVE_FOLDS for f in fields if f.totals)
+    if algebraic is True and not foldable:
+        raise ValueError("non-associative totals formula — algebraic path invalid")
+    if foldable and algebraic is not False:
+        return _algebraic_snapshot(events, fields, date_col, user_col)
     # NOTE(perf, measured): pre-partitioning events by user to elide the
     # per-day agg/join exchanges was tried and is ~20% SLOWER here — the
     # periodic localCheckpoint discards partitioning metadata, so the

@@ -86,3 +86,26 @@ def test_no_user_ever_disappears(spark, events_path):
     first_day_users = {r.unique_id for r in ev.where(F.col("date_") == days[0])
                        .select("unique_id").distinct().collect()}
     assert all(regs[u] == days[0] for u in first_day_users)
+
+
+def test_algebraic_equals_iterative(spark, events_path):
+    """The backfill optimizer (one two-level agg) must be value-identical
+    to the day-by-day fold it replaces — including NULL-seeded totals."""
+    ev = spark.read.parquet(events_path)
+    fast = run_snapshot_pipeline(ev, FIELDS, algebraic=True).toPandas()
+    loop = run_snapshot_pipeline(ev, FIELDS, algebraic=False).toPandas()
+    for df in (fast, loop):
+        for c in ("revenue", "revenue_total"):
+            df[c] = df[c].round(3)
+    assert_pdf_equal(fast, loop, ["unique_id"])
+
+
+def test_non_associative_formula_falls_back(spark, events_path):
+    decay = [MaterializedField("n_events", "count(*)", "double",
+                               totals=True, formula="{prev} * 0.5 + {new}")]
+    ev = spark.read.parquet(events_path)
+    with pytest.raises(ValueError, match="non-associative"):
+        run_snapshot_pipeline(ev, decay, algebraic=True)
+    # auto mode silently takes the loop; result exists and keeps all users
+    out = run_snapshot_pipeline(ev, decay)
+    assert out.count() == ev.select("unique_id").distinct().count()
