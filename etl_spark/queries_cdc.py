@@ -22,6 +22,31 @@ from .cdc.engine import TRANSCRIPT_SCHEMA
 from .cdc.envelope import parse_debezium, to_debezium
 from .queries import _t, register
 
+_SKETCH_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id)               AS n_exact,
+       TRUE                                  AS hll_ok,
+       round(quantile_cont(value, 0.5), 3)   AS p50_exact,
+       round(quantile_cont(value, 0.95), 3)  AS p95_exact,
+       TRUE                                  AS p50_ok,
+       TRUE                                  AS p95_ok
+FROM events GROUP BY event_type
+"""
+
+
+@register("a_approx_sketches", _SKETCH_ORACLE)
+def a_approx_sketches(spark, sf_dir):
+    """HLL distinct + approx-quantile profile with its error contract
+    checked in-query (the *_ok flags must all come back TRUE for the
+    hash to match the oracle's literals)."""
+    from .operators.sketches import distinct_profile, quantile_profile
+
+    ev = _t(spark, sf_dir, "events")
+    d = distinct_profile(ev, "event_type", "user_id")
+    q = quantile_profile(ev, "event_type", "value")
+    return d.join(q, "event_type")
+
+
 _ENVELOPE_ORACLE = """
 SELECT CASE WHEN event_type = 'purchase' THEN 'D'
             WHEN event_type = 'error'    THEN 'U'
