@@ -103,6 +103,14 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--table", required=True)
     lk.add_argument("--conv-id", required=True)
 
+    df_ = sub.add_parser(
+        "diff", help="change data feed: row-level diff between two table versions"
+    )
+    df_.add_argument("--table", required=True)
+    df_.add_argument("--from-version", type=int, required=True)
+    df_.add_argument("--to-version", type=int, default=None)
+    df_.add_argument("--sample", type=int, default=0, help="print up to N change rows")
+
     d = sub.add_parser("gdpr-delete")
     d.add_argument("--table", required=True)
     d.add_argument("--conv-ids", required=True, help="comma-separated conversation ids to erase")
@@ -207,6 +215,26 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
         print(json.dumps({"conv_id": args.conv_id, "turns": len(rows)}))
+        return 0
+
+    if args.cmd == "diff":
+        from pyspark.sql import functions as F
+
+        eng = CdcEngine(spark, args.table)
+        feed = eng.table.changes_between(args.from_version, args.to_version)
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+        }
+        if args.sample:
+            for r in feed.limit(args.sample).collect():
+                print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+        print(json.dumps({
+            "from_version": args.from_version,
+            "to_version": args.to_version if args.to_version is not None
+            else eng.table.version,
+            "changes": counts,
+        }))
         return 0
 
     if args.cmd == "gdpr-delete":

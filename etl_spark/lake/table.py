@@ -466,6 +466,86 @@ class LakeTable:
             *self.schema().names()
         )
 
+    def changes_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed (Delta-CDF / Iceberg-changelog style): the
+        row-level logical diff between two committed metadata versions,
+        for downstream incremental consumers — the emit side of CDC.
+
+        Returns the current schema's payload columns plus ``_change_type``
+        ∈ {insert, update_postimage, delete}; deletes carry the pre-image.
+
+        Scale shape: the diff never scans the whole table when it can
+        avoid it — dirty buckets are taken from the snapshot log's delta
+        commits in the window (compaction/expunge commits rewrite bytes
+        but change no logical state and are skipped), then both versions'
+        folded states for ONLY those buckets are full-outer joined on the
+        key. Cost is O(touched buckets), not O(table). Falls back to an
+        all-bucket diff when the snapshot log was truncated past the
+        window or an unknown commit kind appears (correct, just wider).
+        Comparison is by the LWW order columns ``(_op_ts, _lsn)``, so a
+        rewrite committing identical ordering is correctly silent, and
+        the diff is stable under compaction. Schema evolution between the
+        versions is resolved by field ID (renames map, readds stay NULL).
+        """
+        self.refresh()
+        old = self.as_of(from_version)
+        new = self.as_of(to_version if to_version is not None else self.version)
+        old_sid = old.current_snapshot_id
+
+        ents = [s for s in new.snapshots() if s["snapshot_id"] > old_sid]
+        known = {"delta", "compaction", "expunge"}
+        if new.snapshots_truncated_before() > old_sid + 1 or any(
+            s["kind"] not in known for s in ents
+        ):
+            buckets = None  # can't bound the window — diff everything
+        else:
+            buckets = sorted(
+                {int(b) for s in ents if s["kind"] == "delta"
+                 for b in s["dirty_buckets"]}
+            )
+            if not buckets:
+                return self._empty(False).select(
+                    *new.schema().names(), F.lit("").alias("_change_type")
+                ).limit(0)
+
+        new_s = new.schema()
+        o = old.read_buckets(buckets, with_internal=True, fold=True)
+        o = project_written(o, old.schema(), new_s, keep_extra=INTERNAL_COLS)
+        n = new.read_buckets(buckets, with_internal=True, fold=True)
+
+        key = new.key_cols
+        o = o.select(*[F.col(c).alias(f"_o_{c}") for c in o.columns])
+        n = n.select(*[F.col(c).alias(f"_n_{c}") for c in n.columns])
+        cond = [o[f"_o_{k}"] == n[f"_n_{k}"] for k in key]
+        j = o.join(n, cond, "full_outer")
+
+        live_o = F.col("_o__lsn").isNotNull() & ~F.coalesce(
+            F.col("_o__tombstone"), F.lit(False)
+        )
+        live_n = F.col("_n__lsn").isNotNull() & ~F.coalesce(
+            F.col("_n__tombstone"), F.lit(False)
+        )
+        bumped = (F.col("_o__op_ts") != F.col("_n__op_ts")) | (
+            F.col("_o__lsn") != F.col("_n__lsn")
+        )
+        change = (
+            F.when(~live_o & live_n, "insert")
+            .when(live_o & ~live_n, "delete")
+            .when(live_o & live_n & bumped, "update_postimage")
+        )
+        is_del = change == "delete"
+        cols = [
+            F.when(is_del, F.col(f"_o_{c}")).otherwise(F.col(f"_n_{c}")).alias(c)
+            for c in new_s.names()
+        ]
+        return (
+            j.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .select(*cols, "_change_type")
+        )
+
     def watermark_any(self) -> str | None:
         """Max high-water mark across all sources (freshness stamp for
         derived views that don't care which source advanced)."""
