@@ -51,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--table", required=True)
     s.add_argument("--checkpoint", required=True)
     s.add_argument("--buckets", type=int, default=16)
+    s.add_argument("--wire-format", choices=["parquet", "debezium"], default="parquet",
+                   help="debezium = newline-delimited JSON envelope files")
 
     w = sub.add_parser("show")
     w.add_argument("--table", required=True)
@@ -161,7 +163,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "stream":
         eng = CdcEngine(spark, args.table, num_buckets=args.buckets)
-        q = eng.stream(args.log, args.checkpoint)
+        q = eng.stream(args.log, args.checkpoint, wire_format=args.wire_format)
         q.processAllAvailable()
         q.stop()
         print(json.dumps({

@@ -150,8 +150,17 @@ class CdcEngine:
         max_files_per_trigger: int | None = 8,
         schema: T.StructType | None = None,
         gate=None,
+        wire_format: str = "parquet",
     ):
         """Tail the change log as a Structured Streaming file source.
+
+        ``wire_format``: ``parquet`` tails pre-typed CHANGE_SCHEMA files;
+        ``debezium`` tails newline-delimited JSON envelope files (the
+        shape a Kafka-connect binlog relay lands) and parses them
+        JVM-side via ``cdc.envelope.parse_debezium`` before the same
+        apply path — corrupt envelopes are dropped after parse (route
+        them through a gate by passing ``keep_corrupt`` upstream if they
+        must block).
 
         The file source lists new files under the root (epoch dirs included
         via recursive lookup); ``foreachBatch`` applies each micro-batch
@@ -184,13 +193,27 @@ class CdcEngine:
             _atomic_write_text(marker, marker_id)
         source = f"{source}@{marker_id}"
 
-        reader = (
-            self.spark.readStream.schema(schema or CHANGE_SCHEMA)
-            .option("recursiveFileLookup", "true")
-        )
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        stream_df = reader.parquet(change_log_dir)
+        if wire_format == "debezium":
+            from .envelope import parse_debezium
+
+            reader = (
+                self.spark.readStream.schema(T.StructType(
+                    [T.StructField("value", T.StringType())]
+                ))
+                .option("recursiveFileLookup", "true")
+            )
+            if max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+            payload = schema or TRANSCRIPT_SCHEMA
+            stream_df = parse_debezium(reader.text(change_log_dir), payload)
+        else:
+            reader = (
+                self.spark.readStream.schema(schema or CHANGE_SCHEMA)
+                .option("recursiveFileLookup", "true")
+            )
+            if max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+            stream_df = reader.parquet(change_log_dir)
 
         def _apply(batch_df, batch_id: int):
             stats = apply_batch(
