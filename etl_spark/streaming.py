@@ -77,6 +77,49 @@ def windowed_activity(
     )
 
 
+def streaming_sessions(
+    spark: SparkSession,
+    change_log_dir: str,
+    schema: T.StructType,
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+    max_files_per_trigger: int | None = 16,
+) -> DataFrame:
+    """Live sessionization via ``session_window``: per conversation, rows
+    within ``gap`` of each other merge into one session whose bounds grow
+    as events arrive; the watermark finalizes sessions once event time
+    moves past them (the streaming form of the reference's sessions
+    table, fact/insert_sessions.sql:20-45 — batch W5 computes the same
+    split with a LAG window, see queries.w5_sessions).
+
+    State = one open session per active conversation, closed and evicted
+    at the watermark — bounded regardless of stream length. Dynamic
+    gap-merging (two micro-batches landing adjacent halves of a session)
+    is handled by Spark's session-window state merge, which a
+    hand-rolled LAG over a stream cannot do.
+    """
+    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(change_log_dir)
+    return (
+        stream.where(F.col("op") != "D")
+        .withWatermark("op_ts", watermark_delay)
+        .groupBy(F.col("conv_id"), F.session_window("op_ts", gap).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .select(
+            "conv_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_changes",
+            "max_turn_idx",
+        )
+    )
+
+
 def conversation_progress(
     spark: SparkSession,
     change_log_dir: str,

@@ -217,3 +217,43 @@ def test_two_sources_merge_lww(spark, tmp_path):
     """).df()
     got = eng.table.snapshot_df().toPandas()
     assert_pdf_equal(got, want, ["conv_id", "turn_idx"])
+
+
+def test_streaming_sessions_match_batch_lag_split(spark, stream_log, tmp_path):
+    """session_window sessionization must equal the batch LAG-based
+    30-minute split (the W5 definition) on the same data: same number of
+    sessions per conversation, same event totals."""
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+    from etl_spark.streaming import streaming_sessions
+    from pyspark.sql import Window
+
+    sess = streaming_sessions(spark, stream_log, CHANGE_SCHEMA, "30 minutes", "10 minutes")
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory").queryName("live_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT conv_id, count(*) AS n_sessions, sum(n_changes) AS n_rows "
+        "FROM live_sessions GROUP BY conv_id"
+    ).toPandas().set_index("conv_id").sort_index()
+
+    batch = spark.read.parquet(f"{stream_log}/epoch=*").where(F.col("op") != "D")
+    w = Window.partitionBy("conv_id").orderBy("op_ts")
+    want = (
+        batch.withColumn("prev", F.lag("op_ts").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev").isNull()
+             | (F.col("op_ts").cast("long") - F.col("prev").cast("long") > 1800)
+             ).cast("int"),
+        )
+        .groupBy("conv_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_rows"))
+        .toPandas().set_index("conv_id").sort_index()
+    )
+    assert got["n_sessions"].to_dict() == want["n_sessions"].to_dict()
+    assert got["n_rows"].to_dict() == want["n_rows"].to_dict()
