@@ -37,6 +37,22 @@ def _us(col) -> "F.Column":
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
 
+
+def _dec(col) -> "F.Column":
+    """Exact decimal view of a 2-decimal money-ish double column.
+
+    Float SUMs in an unordered hash aggregation accumulate in shuffle
+    row order, so a result sitting on a round() boundary can flip between
+    runs — a hashed correctness gate must sum EXACTLY. The fixtures'
+    doubles all carry ≤2 decimals, so DECIMAL(18,2) represents them
+    exactly in both Spark and DuckDB; arithmetic/sums in decimal are
+    order-independent, and the final cast back to double is the same
+    deterministic conversion on both engines. (Sums over integer-valued
+    doubles and ORDERED window frames don't need this — those are
+    already order-safe / fixed-order.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -86,11 +102,15 @@ def w1_lww_dedup(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                         AS sum_qty,
-           round(sum(l_extendedprice), 2)                                    AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                 AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)   AS sum_charge,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_charge,
            round(avg(l_quantity), 4)                                         AS avg_qty,
-           round(avg(l_discount), 4)                                         AS avg_disc,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_discount), 4)                                     AS avg_disc,
            count(*)                                                          AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -101,11 +121,11 @@ def a1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+        F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")) * (1 + _dec("l_tax"))).cast("double"), 2).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(F.sum(_dec("l_discount")).cast("double") / F.count("l_discount"), 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -119,8 +139,9 @@ def a1_pricing_summary(spark, sf_dir):
                 AS BIGINT)                                            AS n_purchases,
            count(DISTINCT CASE WHEN event_type = 'purchase'
                                THEN CAST(ts AS DATE) END)             AS purchase_days,
-           round(sum(CASE WHEN event_type = 'purchase'
-                          THEN value ELSE 0 END), 3)                  AS revenue,
+           round(CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END)
+                      AS DOUBLE), 3)                                  AS revenue,
            round(max(value), 3)                                       AS max_value
     FROM events
     GROUP BY user_id
@@ -136,7 +157,7 @@ def a2_user_metrics(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.when(is_p, 1).otherwise(0)).alias("n_purchases"),
             F.countDistinct(F.when(is_p, F.to_date("ts"))).alias("purchase_days"),
-            F.round(F.sum(F.when(is_p, F.col("value")).otherwise(0)), 3).alias("revenue"),
+            F.round(F.sum(F.when(is_p, _dec("value")).otherwise(0)).cast("double"), 3).alias("revenue"),
             F.round(F.max("value"), 3).alias("max_value"),
         )
         .where(F.col("n_events") > 1)
@@ -198,7 +219,8 @@ def w2_first_event(spark, sf_dir):
     )
     SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
-           count(*) AS n_events, round(sum(value), 3) AS session_value
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS session_value
     FROM s GROUP BY user_id, session_seq
     """,
 )
@@ -221,7 +243,7 @@ def w5_sessions(spark, sf_dir):
         _us(F.min("ts")).alias("start_us"),
         _us(F.max("ts")).alias("end_us"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 3).alias("session_value"),
+        F.round(F.sum(_dec("value")).cast("double"), 3).alias("session_value"),
     )
 
 
@@ -265,7 +287,7 @@ def w8_lag_gaps(spark, sf_dir):
     "j1_left_join_preagg",
     """
     WITH m AS (
-      SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_total
+      SELECT o_custkey, count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_total
       FROM orders GROUP BY o_custkey
     )
     SELECT c.c_custkey, c.c_name, c.c_mktsegment,
@@ -279,7 +301,7 @@ def j1_left_join_preagg(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     m = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("sum_total"),
     )
     return (
         c.join(m, c.c_custkey == m.o_custkey, "left")
@@ -300,11 +322,11 @@ def j1_left_join_preagg(spark, sf_dir):
     """
     WITH a AS (
       SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_,
-             count(*) AS n_orders, round(sum(o_totalprice), 2) AS order_total
+             count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS order_total
       FROM orders GROUP BY 1
     ), b AS (
       SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month_,
-             count(*) AS n_lines, round(sum(l_extendedprice), 2) AS ship_total
+             count(*) AS n_lines, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS ship_total
       FROM lineitem GROUP BY 1
     )
     SELECT coalesce(a.month_, b.month_) AS month_,
@@ -322,13 +344,13 @@ def j3_full_outer_cohort(spark, sf_dir):
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("order_total"),
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("order_total"),
     )
     b = li.groupBy(
         F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("month_")
     ).agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum("l_extendedprice"), 2).alias("ship_total"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("ship_total"),
     )
     return (
         a.join(b, "month_", "full_outer")
@@ -379,7 +401,8 @@ def j7_semi_join(spark, sf_dir):
     """
     SELECT r.r_name AS region, n.n_name AS nation,
            count(*) AS n_lines,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -399,7 +422,7 @@ def j_broadcast_dims(spark, sf_dir):
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("double"), 2).alias("revenue"),
         )
     )
 

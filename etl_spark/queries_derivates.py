@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators.reconcile import tolerance_compare
-from .queries import _t, register
+from .queries import _dec, _t, register
 
 # --------------------------------------------------------------------------
 # W7 — AVG over a window (full-partition frame), the session-quality
@@ -26,11 +26,19 @@ from .queries import _t, register
 
 @register(
     "w7_window_avg_quality",
+    # The averages sum EXACT decimals, then do one double division: a
+    # plain float avg() over a window accumulates in shuffle-partition
+    # row order, so a value sitting on a round(4) boundary flips between
+    # runs — an order-independent exact sum is the only hashable form.
     """
     SELECT user_id, event_id,
-           round(avg(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)), 4)
+           round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)), 4)
              AS day_avg_value,
-           round(avg(value) OVER (PARTITION BY user_id), 4)
+           round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY user_id) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY user_id), 4)
              AS user_avg_value,
            count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE))
              AS day_n_events
@@ -43,11 +51,18 @@ def w7_window_avg_quality(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w_day = Window.partitionBy("user_id", F.to_date("ts"))
     w_user = Window.partitionBy("user_id")
+    dec = F.col("value").cast("decimal(18,6)")
+
+    def wavg(w):
+        return F.round(
+            F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+        )
+
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.avg("value").over(w_day), 4).alias("day_avg_value"),
-        F.round(F.avg("value").over(w_user), 4).alias("user_avg_value"),
+        wavg(w_day).alias("day_avg_value"),
+        wavg(w_user).alias("user_avg_value"),
         F.count(F.lit(1)).over(w_day).alias("day_n_events"),
     )
 
@@ -69,7 +84,7 @@ def w7_window_avg_quality(spark, sf_dir):
            event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS active_users,
-           round(sum(value), 3) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -86,7 +101,7 @@ def d_weekly_rollup(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("active_users"),
-            F.round(F.sum("value"), 3).alias("total_value"),
+            F.round(F.sum(_dec("value")).cast("double"), 3).alias("total_value"),
         )
     )
 
@@ -105,7 +120,8 @@ def d_weekly_rollup(spark, sf_dir):
            count(DISTINCT user_id) AS active_users,
            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_purchases,
-           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 3)
+           round(CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE), 3)
              AS revenue
     FROM events
     GROUP BY 1
@@ -120,7 +136,7 @@ def d_monthly_rollup(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("active_users"),
             F.sum(F.when(is_p, 1).otherwise(0)).alias("n_purchases"),
-            F.round(F.sum(F.when(is_p, F.col("value")).otherwise(0)), 3).alias(
+            F.round(F.sum(F.when(is_p, _dec("value")).otherwise(0)).cast("double"), 3).alias(
                 "revenue"
             ),
         )
@@ -140,12 +156,14 @@ def d_monthly_rollup(spark, sf_dir):
     WITH booked AS (
       SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m')
                AS month_,
-             round(sum(o_totalprice), 2) AS booked_total
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS booked_total
       FROM orders GROUP BY 1
     ), computed AS (
       SELECT strftime(CAST(date_trunc('month', o.o_orderdate) AS DATE), '%Y-%m')
                AS month_,
-             round(sum(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax)), 2)
+             round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                        * (1 + CAST(l.l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2)
                AS computed_total
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1
@@ -165,13 +183,13 @@ def recon_order_totals(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     month = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
     booked = o.groupBy(month.alias("month_")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("booked_total")
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("booked_total")
     )
-    gross = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    gross = _dec("l_extendedprice") * (1 - _dec("l_discount")) * (1 + _dec("l_tax"))
     computed = (
         li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
         .groupBy(month.alias("month_"))
-        .agg(F.round(F.sum(gross), 2).alias("computed_total"))
+        .agg(F.round(F.sum(gross).cast("double"), 2).alias("computed_total"))
     )
     return tolerance_compare(
         booked, computed, ["month_"], "booked_total", "computed_total", 0.05
@@ -215,7 +233,8 @@ def j5_cross_join(spark, sf_dir):
     """
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day_,
-             count(*) AS n_events, round(sum(value), 3) AS daily_value
+             count(*) AS n_events,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS daily_value
       FROM events GROUP BY 1, 2
     )
     SELECT t.user_id, strftime(t.day_, '%Y-%m-%d') AS day_str,
@@ -231,7 +250,7 @@ def j11_theta_self_join(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day_")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 3).alias("daily_value"),
+        F.round(F.sum(_dec("value")).cast("double"), 3).alias("daily_value"),
     )
     t, y = daily.alias("t"), daily.alias("y")
     return (

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .queries import _t, _us, register
+from .queries import _dec, _t, _us, register
 
 # --------------------------------------------------------------------------
 # W3 — latest-version pick via two-level rank
@@ -142,7 +142,7 @@ def j2_composite_key_join(spark, sf_dir):
       SELECT json_extract_string(props, '$.k') AS k, count(*) AS n_events
       FROM events GROUP BY 1
     ), b AS (
-      SELECT json_extract_string(props, '$.k') AS k, round(sum(value), 3) AS total
+      SELECT json_extract_string(props, '$.k') AS k, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS total
       FROM events GROUP BY 1
     )
     SELECT a.k AS k, a.n_events, b.total
@@ -153,7 +153,7 @@ def j8_null_safe_join(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").alias("k")
     a = ev.select(k).groupBy("k").agg(F.count(F.lit(1)).alias("n_events"))
-    b = ev.select(k, "value").groupBy("k").agg(F.round(F.sum("value"), 3).alias("total"))
+    b = ev.select(k, "value").groupBy("k").agg(F.round(F.sum(_dec("value")).cast("double"), 3).alias("total"))
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"].alias("k"), "n_events", "total"
     )
@@ -168,7 +168,7 @@ def j8_null_safe_join(spark, sf_dir):
     "j9_range_join",
     """
     SELECT o.o_orderkey, count(*) AS n_in_window,
-           round(sum(l.l_extendedprice), 2) AS window_price
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS window_price
     FROM orders o
     JOIN lineitem l
       ON l.l_orderkey = o.o_orderkey
@@ -188,7 +188,7 @@ def j9_range_join(spark, sf_dir):
         .groupBy("o_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_in_window"),
-            F.round(F.sum("l_extendedprice"), 2).alias("window_price"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("window_price"),
         )
     )
 
@@ -264,7 +264,7 @@ def p8_cast_normalize(spark, sf_dir):
       UNION ALL
       SELECT user_id, 'purchase' AS src, value FROM events WHERE event_type = 'purchase'
     )
-    SELECT user_id, src, count(*) AS n, round(sum(value), 3) AS total
+    SELECT user_id, src, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS total
     FROM unioned GROUP BY user_id, src
     """,
 )
@@ -278,7 +278,7 @@ def u1_union_assembly(spark, sf_dir):
     ]
     unioned = slices[0].unionByName(slices[1]).unionByName(slices[2])
     return unioned.groupBy("user_id", "src").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("total")
+        F.count(F.lit(1)).alias("n"), F.round(F.sum(_dec("value")).cast("double"), 3).alias("total")
     )
 
 
@@ -296,7 +296,7 @@ def u1_union_assembly(spark, sf_dir):
       FROM events
     )
     SELECT p.pseudo, count(*) AS n_events,
-           round(sum(e.value), 3) AS total_value
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 3) AS total_value
     FROM events e JOIN pmap p USING (user_id)
     GROUP BY p.pseudo
     """,
@@ -313,7 +313,7 @@ def f_pseudonymize(spark, sf_dir):
         .groupBy("pseudo")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 3).alias("total_value"),
+            F.round(F.sum(_dec("value")).cast("double"), 3).alias("total_value"),
         )
     )
 
@@ -330,7 +330,8 @@ def f_pseudonymize(spark, sf_dir):
     """
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day_,
-             count(*) AS daily_events, round(sum(value), 3) AS daily_value
+             count(*) AS daily_events,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS daily_value
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     )
     SELECT user_id, strftime(day_, '%Y-%m-%d') AS day_str,
@@ -347,7 +348,7 @@ def t4_carry_forward_totals(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day_")).agg(
         F.count(F.lit(1)).alias("daily_events"),
-        F.round(F.sum("value"), 3).alias("daily_value"),
+        F.round(F.sum(_dec("value")).cast("double"), 3).alias("daily_value"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -380,7 +381,9 @@ def t4_carry_forward_totals(spark, sf_dir):
     daily AS (
       SELECT user_id, date_,
              count(*) AS n_events,
-             sum(CASE WHEN event_type = 'purchase' THEN coalesce(value, 0) ELSE 0 END) AS revenue,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(coalesce(value, 0) AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS revenue,
              max(value) AS max_value
       FROM ev GROUP BY user_id, date_
     )
@@ -388,10 +391,10 @@ def t4_carry_forward_totals(spark, sf_dir):
            strftime(min(d.date_), '%Y-%m-%d') AS registration_date,
            strftime((SELECT d FROM last_day), '%Y-%m-%d') AS date_,
            coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.n_events END), 0) AS n_events,
-           round(coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.revenue END), 0), 3) AS revenue,
+           round(CAST(coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.revenue END), 0) AS DOUBLE), 3) AS revenue,
            round(coalesce(max(CASE WHEN d.date_ = (SELECT d FROM last_day) THEN d.max_value END), 0), 3) AS max_value,
            CAST(sum(d.n_events) AS BIGINT) AS n_events_total,
-           round(sum(d.revenue), 3) AS revenue_total,
+           round(CAST(sum(d.revenue) AS DOUBLE), 3) AS revenue_total,
            round(max(d.max_value), 3) AS max_value_total
     FROM daily d GROUP BY d.user_id
     """,
@@ -403,8 +406,11 @@ def snapshot_user_history(spark, sf_dir):
         MaterializedField("n_events", "count(*)", "bigint", totals=True),
         MaterializedField(
             "revenue",
-            "sum(CASE WHEN event_type = 'purchase' THEN coalesce(value, 0) ELSE 0 END)",
-            "double", totals=True,
+            # exact decimal sum: order-independent, hash-stable (see _dec)
+            "sum(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(coalesce(value, 0) AS DECIMAL(18,2))"
+            " ELSE CAST(0 AS DECIMAL(18,2)) END)",
+            "decimal(28,2)", totals=True,
         ),
         MaterializedField(
             "max_value", "max(value)", "double",
@@ -418,9 +424,9 @@ def snapshot_user_history(spark, sf_dir):
         F.date_format("registration_date", "yyyy-MM-dd").alias("registration_date"),
         F.date_format("date_", "yyyy-MM-dd").alias("date_"),
         "n_events",
-        F.round("revenue", 3).alias("revenue"),
+        F.round(F.col("revenue").cast("double"), 3).alias("revenue"),
         F.round("max_value", 3).alias("max_value"),
         "n_events_total",
-        F.round("revenue_total", 3).alias("revenue_total"),
+        F.round(F.col("revenue_total").cast("double"), 3).alias("revenue_total"),
         F.round("max_value_total", 3).alias("max_value_total"),
     )
