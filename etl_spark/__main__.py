@@ -113,6 +113,12 @@ def main(argv: list[str] | None = None) -> int:
     df_.add_argument("--to-version", type=int, default=None)
     df_.add_argument("--sample", type=int, default=0, help="print up to N change rows")
 
+    sy = sub.add_parser(
+        "sync", help="replicate: change-feed from --src applied exactly-once into --dst"
+    )
+    sy.add_argument("--src", required=True)
+    sy.add_argument("--dst", required=True, help="created with src's schema if absent")
+
     d = sub.add_parser("gdpr-delete")
     d.add_argument("--table", required=True)
     d.add_argument("--conv-ids", required=True, help="comma-separated conversation ids to erase")
@@ -236,6 +242,24 @@ def main(argv: list[str] | None = None) -> int:
             "to_version": args.to_version if args.to_version is not None
             else eng.table.version,
             "changes": counts,
+        }))
+        return 0
+
+    if args.cmd == "sync":
+        from etl_spark.cdc.replicate import create_replica, sync_replica
+        from etl_spark.lake.table import LakeTable
+
+        src = LakeTable(spark, args.src)
+        dst = (
+            LakeTable(spark, args.dst)
+            if LakeTable.exists(args.dst)
+            else create_replica(src, args.dst)
+        )
+        s = sync_replica(src, dst)
+        print(json.dumps({
+            "src_version": s.src_version,
+            "mode": s.mode,
+            "rows": dst.snapshot_df().count(),
         }))
         return 0
 

@@ -467,7 +467,10 @@ class LakeTable:
         )
 
     def changes_between(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        with_ordering: bool = False,
     ) -> DataFrame:
         """Change data feed (Delta-CDF / Iceberg-changelog style): the
         row-level logical diff between two committed metadata versions,
@@ -488,6 +491,12 @@ class LakeTable:
         rewrite committing identical ordering is correctly silent, and
         the diff is stable under compaction. Schema evolution between the
         versions is resolved by field ID (renames map, readds stay NULL).
+
+        ``with_ordering`` additionally emits ``_op_ts``/``_lsn`` — the
+        change's LWW order key (the new side's; a delete whose tombstone
+        was already expunged has no new side and emits NULL ordering —
+        consumers needing a total order stamp those like GDPR tombstones,
+        see ``cdc.replicate``).
         """
         self.refresh()
         old = self.as_of(from_version)
@@ -506,9 +515,12 @@ class LakeTable:
                  for b in s["dirty_buckets"]}
             )
             if not buckets:
-                return self._empty(False).select(
-                    *new.schema().names(), F.lit("").alias("_change_type")
+                empty = self._empty(with_ordering).select(
+                    *new.schema().names(),
+                    F.lit("").alias("_change_type"),
+                    *([F.col("_op_ts"), F.col("_lsn")] if with_ordering else []),
                 ).limit(0)
+                return empty
 
         new_s = new.schema()
         o = old.read_buckets(buckets, with_internal=True, fold=True)
@@ -540,10 +552,16 @@ class LakeTable:
             F.when(is_del, F.col(f"_o_{c}")).otherwise(F.col(f"_n_{c}")).alias(c)
             for c in new_s.names()
         ]
+        extra = []
+        if with_ordering:
+            extra = [
+                F.col("_n__op_ts").alias("_op_ts"),
+                F.col("_n__lsn").alias("_lsn"),
+            ]
         return (
             j.withColumn("_change_type", change)
             .where(F.col("_change_type").isNotNull())
-            .select(*cols, "_change_type")
+            .select(*cols, "_change_type", *extra)
         )
 
     def watermark_any(self) -> str | None:
