@@ -1,6 +1,9 @@
 """Partial-update (patch-style) CDC materialization semantics."""
 
 import datetime as dt
+import random
+
+import pytest
 
 from etl_spark.cdc.apply import apply_batch
 from etl_spark.cdc.engine import CHANGE_SCHEMA, CdcEngine
@@ -126,3 +129,51 @@ def test_equivalence_with_full_images(spark, tmp_path):
         ("U", "c1", 0, None, None, "tool2", None, T("2025-01-01 02:00:00"), 3),
     ], epoch=1)
     assert _state(a.table) == _state(b.table)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_ordered_batch_split_independence(spark, tmp_path, seed):
+    """For an IN-ORDER patch stream, the engine's result is independent of
+    how the stream is split into batches, and equals a sequential
+    one-event-at-a-time model (full image replaces; patch merges
+    non-NULLs; delete clears). Out-of-order batches intentionally
+    diverge (row-LWW, not column-CRDT) and are covered elsewhere."""
+    rng = random.Random(seed)
+    keys = [("k", i) for i in range(4)]
+    cols = ["role", "text", "tool"]
+    events = []
+    for lsn in range(1, 61):
+        conv, turn = rng.choice(keys)
+        ts = T(f"2025-01-01 00:00:00") + dt.timedelta(seconds=lsn)
+        kind = rng.random()
+        if kind < 0.12:
+            events.append(("D", conv, turn, None, None, None, None, ts, lsn))
+        elif kind < 0.45:  # full image
+            events.append(("U", conv, turn, f"r{lsn}", f"t{lsn}", f"o{lsn}",
+                           T("2025-01-01 00:00:00"), ts, lsn))
+        else:  # patch: random non-empty column subset
+            vals = {c: (f"{c}{lsn}" if rng.random() < 0.5 else None) for c in cols}
+            if not any(vals.values()):
+                vals["text"] = f"text{lsn}"
+            events.append(("U", conv, turn, vals["role"], vals["text"], vals["tool"],
+                           None, ts, lsn))
+
+    # sequential reference model
+    model = {}
+    for op, conv, turn, role, text, tool, ts, op_ts, lsn in events:
+        k = (conv, turn)
+        if op == "D":
+            model.pop(k, None)
+        else:
+            cur = model.get(k, (None, None, None))
+            model[k] = (role or cur[0], text or cur[1], tool or cur[2])
+
+    # engine: random in-order batch split, every batch via materialize_partial
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=2)
+    i, epoch = 0, 0
+    while i < len(events):
+        n = rng.randint(1, 9)
+        _apply_patches(spark, eng.table, events[i:i + n], epoch)
+        i += n
+        epoch += 1
+    assert _state(eng.table) == model
