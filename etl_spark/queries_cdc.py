@@ -47,6 +47,73 @@ def a_approx_sketches(spark, sf_dir):
     return d.join(q, "event_type")
 
 
+# --------------------------------------------------------------------------
+# A-family breadth: multi-level aggregation (GROUPING SETS / rollup) and
+# PIVOT. The reference builds its weekly/monthly derivates as separate
+# statements per level (insert_user_history_derivates.sql:26-45); GROUPING
+# SETS computes every level in ONE pass over the data — at 100 TB that is
+# one scan instead of one per level (Spark plans a single Expand + hash
+# agg; partial aggregation still applies).
+
+_GSETS_ORACLE = """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(strftime(CAST(date_trunc('month', ts) AS DATE), '%Y-%m'), '<all>')
+         AS month_,
+       count(*) AS n_events,
+       CAST(grouping(event_type) AS INT) AS g_type,
+       CAST(grouping(date_trunc('month', ts)) AS INT) AS g_month
+FROM events
+GROUP BY GROUPING SETS ((event_type, date_trunc('month', ts)), (event_type), ())
+"""
+
+
+@register("a_grouping_sets", _GSETS_ORACLE)
+def a_grouping_sets(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("month", "ts").alias("_m")
+    )
+    out = ev.groupingSets(
+        [["event_type", "_m"], ["event_type"], []], "event_type", "_m"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("_m").cast("int").alias("g_month"),
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce(F.date_format("_m", "yyyy-MM"), F.lit("<all>")).alias("month_"),
+        "n_events",
+        "g_type",
+        "g_month",
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
+       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS n_view,
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+       CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+@register("a_pivot_counts", _PIVOT_ORACLE)
+def a_pivot_counts(spark, sf_dir):
+    """PIVOT with an EXPLICIT value list — at scale, never let pivot infer
+    the distinct values (that is an extra full scan + a driver collect)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds]
+    )
+
+
 _ENVELOPE_ORACLE = """
 SELECT CASE WHEN event_type = 'purchase' THEN 'D'
             WHEN event_type = 'error'    THEN 'U'
