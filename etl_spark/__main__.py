@@ -113,6 +113,18 @@ def main(argv: list[str] | None = None) -> int:
     df_.add_argument("--to-version", type=int, default=None)
     df_.add_argument("--sample", type=int, default=0, help="print up to N change rows")
 
+    mt = sub.add_parser(
+        "maintain",
+        help="one maintenance cycle: close partitions, compact, expunge "
+             "tombstones past retention, age-guarded vacuum",
+    )
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--tombstone-retention-hours", type=float, default=72.0,
+                    help="expunge tombstones older than watermark minus this")
+    mt.add_argument("--vacuum-min-age-seconds", type=float, default=3600.0)
+    mt.add_argument("--allowed-lateness-hours", type=float, default=2.0)
+    mt.add_argument("--force-close-after-hours", type=float, default=12.0)
+
     sy = sub.add_parser(
         "sync", help="replicate: change-feed from --src applied exactly-once into --dst"
     )
@@ -242,6 +254,39 @@ def main(argv: list[str] | None = None) -> int:
             "to_version": args.to_version if args.to_version is not None
             else eng.table.version,
             "changes": counts,
+        }))
+        return 0
+
+    if args.cmd == "maintain":
+        import datetime as _dt
+
+        from etl_spark.cdc.maintenance import expunge_tombstones
+        from etl_spark.cdc.partitions import close_due_partitions
+
+        eng = CdcEngine(spark, args.table)
+        t = eng.table
+        closed = close_due_partitions(
+            t,
+            allowed_lateness_hours=args.allowed_lateness_hours,
+            force_close_after_hours=args.force_close_after_hours,
+        )
+        compacted = t.buckets_needing_compaction()
+        if compacted:
+            t.compact(compacted)
+        expunged = None
+        wm = t.watermark_any()
+        if wm is not None:
+            horizon = _dt.datetime.fromisoformat(wm) - _dt.timedelta(
+                hours=args.tombstone_retention_hours
+            )
+            expunged = expunge_tombstones(t, before_op_ts=horizon.isoformat(sep=" "))
+        vac = t.vacuum(min_age_seconds=args.vacuum_min_age_seconds)
+        print(json.dumps({
+            "closed_partitions": len(closed),
+            "compacted_buckets": compacted,
+            "expunge_snapshot": expunged,
+            "vacuum": vac,
+            "version": t.version,
         }))
         return 0
 

@@ -1,17 +1,18 @@
-"""CDC wire-format coverage queries: Debezium envelope parse.
+"""Round-2 coverage queries: CDC wire format, approx sketches, and
+multi-level aggregation.
 
-The engine's binlog front door (`cdc/envelope.py`) exercised as a
-driver-gate query: deterministic change rows are derived from the shared
-``events`` table, serialized to Debezium envelope JSON (`to_debezium`),
-parsed back (`parse_debezium`, one JVM-side ``from_json``), and the typed
-change stream is returned. The oracle states the parse contract directly
-over the same base rows — op mapping c/u/d, before-image for deletes,
-epoch-millis op_ts, source.lsn ordering key.
-
-Reference parity: the reference's only JSON-wire handling is
-JSON_VALUE extraction (appsflyer/update_user_map.sql:36); a from-scratch
-CDC engine needs the full envelope contract, so this is engine-new
-surface per the north rule (binlog/WAL-style change stream).
+* ``cdc_envelope_roundtrip`` — the binlog front door (`cdc/envelope.py`)
+  as a driver-gate query: change rows derived from ``events``,
+  serialized to Debezium envelope JSON (`to_debezium`), parsed back
+  (`parse_debezium`, one JVM-side ``from_json``). The oracle states the
+  parse contract directly — op mapping c/u/d, before-image for deletes,
+  epoch-millis op_ts, source.lsn ordering key. (Reference's only
+  JSON-wire handling is JSON_VALUE, appsflyer/update_user_map.sql:36 —
+  the full envelope contract is engine-new surface per the north rule.)
+* ``a_approx_sketches`` — HLL + approx-quantile with their error
+  contracts checked in-query (`operators/sketches.py`).
+* ``a_grouping_sets`` / ``a_pivot_counts`` — one-pass multi-level
+  aggregation and explicit-values pivot.
 """
 
 from __future__ import annotations
