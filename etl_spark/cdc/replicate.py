@@ -23,6 +23,13 @@ before the replica saw it, the feed has no order key — those deletes are
 stamped (source watermark, 2^62), the same deletion-wins-ties convention
 as GDPR erasure (cdc/maintenance.py), and documented there.
 
+Schema evolution: adds/widens on the source propagate automatically
+(the apply's name-based evolution). A source-side RENAME does not — the
+replica's field IDs are its own, so the feed's renamed column arrives as
+a new name and evolution ADDS it (the old column stays, NULL from then
+on). Mirror renames by calling ``dst.rename_column`` alongside the
+source's — the next sync then lines up.
+
 Reference parity: the reference's closest shape is the three-day
 re-statement cascade that re-copies aggregate outputs between datasets
 (DAG_external_source.py:132-224); a from-scratch engine gets true
