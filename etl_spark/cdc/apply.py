@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..lake.schema import align
-from ..lake.table import LakeTable
+from ..lake.table import EpochFencedError, LakeTable
 from .dedup import ORDER, lww_dedup
 
 
@@ -179,18 +179,25 @@ def apply_batch(
             # block BEFORE the metadata commit: table state unchanged,
             # epoch unfenced, the written delta is an orphan for vacuum
             raise GateFailure(report, context=f"epoch {epoch} ({source})")
-    stats.snapshot_id = table.commit_delta(
-        epoch,
-        source,
-        rel if stats.dirty_buckets else "",
-        stats.dirty_buckets,
-        stats={
-            "winners": stats.winners,
-            "schema_changes": stats.schema_changes,
-            "op_ts_max": stats.op_ts_max,
-            "late_rows": stats.late_rows,
-        },
-    )
+    try:
+        stats.snapshot_id = table.commit_delta(
+            epoch,
+            source,
+            rel if stats.dirty_buckets else "",
+            stats.dirty_buckets,
+            stats={
+                "winners": stats.winners,
+                "schema_changes": stats.schema_changes,
+                "op_ts_max": stats.op_ts_max,
+                "late_rows": stats.late_rows,
+            },
+        )
+    except EpochFencedError:
+        # A racing applier committed this exact (source, epoch) between our
+        # fence pre-check and our commit. Exactly-once holds: our delta is
+        # an unreferenced orphan (vacuum reclaims it) and the result is
+        # identical to having been fenced up front.
+        return ApplyStats(epoch=epoch, skipped=True, wall_s=time.time() - t0)
     stats.watermark = table.watermark(source)
 
     # 4. bounded read amplification: compact buckets that crossed the

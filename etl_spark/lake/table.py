@@ -68,7 +68,25 @@ ORDER_COLS = ["_op_ts", "_lsn"]
 
 
 class ConcurrentCommitError(RuntimeError):
-    pass
+    """A racing writer published the metadata version this commit wanted.
+
+    Raised to callers only after optimistic retries are exhausted (or from
+    the raw ``_atomic_publish_json`` reservation, which the retrying commit
+    paths catch internally)."""
+
+
+class CommitConflictError(ConcurrentCommitError):
+    """A concurrent commit semantically conflicts with this one (same
+    buckets rebased, or history needed to prove disjointness was
+    truncated). The operation must be RECOMPUTED against the new table
+    state, not blindly retried — e.g. re-run ``compact()`` so the fold
+    includes the concurrent delta."""
+
+
+class EpochFencedError(ConcurrentCommitError):
+    """A concurrent writer committed this (source, epoch) first. The losing
+    apply is a duplicate of work already done — callers treat it exactly
+    like the pre-checked fence (skip, nothing to do)."""
 
 
 class LakeTable:
@@ -575,11 +593,23 @@ class LakeTable:
     def evolve_schema(self, incoming: T.StructType) -> list[str]:
         """Widen/extend the table schema so ``incoming`` rows fit (no commit
         of data; bumps metadata version). Returns human-readable change log."""
-        new_schema, changes = self.schema().evolve_to_accept(incoming)
-        if not changes:
-            return []
-        self._commit_schema(new_schema)
-        return changes
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            new_schema, changes = self.schema().evolve_to_accept(incoming)
+            if not changes:
+                return []
+            try:
+                self._commit_schema(new_schema)
+                return changes
+            except ConcurrentCommitError:
+                # Racing writer published first (a data commit or its own
+                # evolution). Recompute the diff from fresh metadata —
+                # idempotent: if the winner already made the schema accept
+                # this batch, the next diff is empty.
+                self.refresh()
+        raise ConcurrentCommitError(
+            f"schema evolution lost the metadata race "
+            f"{self.MAX_COMMIT_RETRIES} times — giving up"
+        )
 
     def _commit_schema(self, new_schema: TableSchema) -> None:
         meta = json.loads(json.dumps(self._meta))
@@ -708,10 +738,51 @@ class LakeTable:
         stats: dict | None = None,
     ) -> int:
         """Atomically publish a delta commit: append one delta entry per
-        dirty bucket, fence the epoch."""
+        dirty bucket, fence the epoch.
+
+        Optimistic concurrency (Iceberg-style): losing the metadata-version
+        race does NOT fail the commit. Delta entries are self-contained new
+        files, so they rebase cleanly onto whatever the winner published —
+        a concurrent delta (other source/epoch), compaction, expunge, or
+        schema evolution — and the commit retries against fresh metadata.
+        The one semantic conflict is a concurrent writer fencing the SAME
+        (source, epoch): that is a duplicate apply and raises
+        ``EpochFencedError`` (exactly-once holds under racing appliers).
+        Files keep the schema version they were physically written with,
+        captured before the race, so a concurrent evolution can't mislabel
+        them (field-ID resolution then reads them correctly forever).
+        """
+        sv = self._meta["current_schema_version"]
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            try:
+                return self._build_delta_commit(
+                    epoch, source, delta_rel_path, dirty_buckets, sv, stats
+                )
+            except EpochFencedError:
+                raise
+            except ConcurrentCommitError:
+                self.refresh()
+                if epoch <= self.committed_epoch(source):
+                    raise EpochFencedError(
+                        f"epoch {epoch} for source {source!r} was committed by a "
+                        "concurrent writer"
+                    )
+        raise ConcurrentCommitError(
+            f"delta commit for epoch {epoch} lost the metadata race "
+            f"{self.MAX_COMMIT_RETRIES} times — giving up"
+        )
+
+    def _build_delta_commit(
+        self,
+        epoch: int,
+        source: str,
+        delta_rel_path: str,
+        dirty_buckets: list[int],
+        sv: int,
+        stats: dict | None,
+    ) -> int:
         meta = json.loads(json.dumps(self._meta))
         sid = meta["current_snapshot_id"] + 1
-        sv = meta["current_schema_version"]
         for b in dirty_buckets:
             bdir = os.path.join(self.path, delta_rel_path, f"_bucket={int(b)}")
             if not os.path.isdir(bdir):
@@ -757,6 +828,10 @@ class LakeTable:
         buckets = self.buckets_needing_compaction() if buckets is None else buckets
         if not buckets:
             return None
+        # Snapshot the fold's basis BEFORE resolving the read plan: the
+        # rebase commit may only auto-retry a lost metadata race if no
+        # commit after this point touched these buckets.
+        based_on = int(self._meta["current_snapshot_id"])
         folded = self.read_buckets(buckets, with_internal=True, fold=True)
         rel = self.new_data_rel("base")
         # NOTE(perf, measured): sort_cols=self.key_cols here was tried and
@@ -769,7 +844,7 @@ class LakeTable:
         # row groups (multi-GB buckets); callers at that scale can pass
         # sort_cols to write_files explicitly.
         self.write_files(folded, rel)
-        return self.commit_rebase(buckets, rel, kind="compaction")
+        return self.commit_rebase(buckets, rel, kind="compaction", based_on=based_on)
 
     def commit_rebase(
         self,
@@ -779,15 +854,74 @@ class LakeTable:
         extra: dict | None = None,
         epoch: int | None = None,
         source: str | None = None,
+        based_on: int | None = None,
     ) -> int:
         """Publish a maintenance commit: the given buckets' base becomes
         ``rel_path/_bucket=K`` and their delta lists clear (used by
         compaction, tombstone expunge, incremental-view refresh). When
         ``epoch``/``source`` are given the commit also fences that epoch
-        (exactly-once for derived-table refreshes)."""
+        (exactly-once for derived-table refreshes).
+
+        Optimistic concurrency: ``based_on`` is the snapshot id the folded
+        data was computed from (defaults to the current snapshot at call
+        time). Losing the metadata race retries ONLY if every commit that
+        landed since ``based_on`` touched disjoint buckets — a rebase
+        replaces its buckets' entire file set, so an unseen concurrent
+        delta on the same bucket would be silently erased. On overlap (or
+        if the snapshot log was truncated past ``based_on``, making
+        disjointness unprovable) raises ``CommitConflictError``: the
+        caller must recompute its fold against fresh state."""
+        if based_on is None:
+            based_on = int(self._meta["current_snapshot_id"])
+        sv = self._meta["current_schema_version"]
+        bset = {int(b) for b in buckets}
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            try:
+                return self._build_rebase_commit(
+                    buckets, rel_path, kind, extra, epoch, source, sv
+                )
+            except ConcurrentCommitError:
+                self.refresh()
+                if self.snapshots_truncated_before() > based_on + 1:
+                    raise CommitConflictError(
+                        f"{kind} commit based on snapshot {based_on} lost the "
+                        "metadata race and the snapshot log no longer covers "
+                        "the interval — recompute against current state"
+                    )
+                for s in self._meta["snapshots"]:
+                    if int(s["snapshot_id"]) > based_on and bset & {
+                        int(b) for b in s.get("dirty_buckets", [])
+                    }:
+                        raise CommitConflictError(
+                            f"{kind} commit of buckets {sorted(bset)} based on "
+                            f"snapshot {based_on} conflicts with concurrent "
+                            f"{s.get('kind', 'delta')} snapshot "
+                            f"{s['snapshot_id']} (dirty buckets "
+                            f"{s.get('dirty_buckets')}) — recompute"
+                        )
+                if epoch is not None and source is not None:
+                    if epoch <= self.committed_epoch(source):
+                        raise EpochFencedError(
+                            f"epoch {epoch} for source {source!r} was committed "
+                            "by a concurrent writer"
+                        )
+        raise ConcurrentCommitError(
+            f"{kind} commit lost the metadata race "
+            f"{self.MAX_COMMIT_RETRIES} times — giving up"
+        )
+
+    def _build_rebase_commit(
+        self,
+        buckets: list[int],
+        rel_path: str,
+        kind: str,
+        extra: dict | None,
+        epoch: int | None,
+        source: str | None,
+        sv: int,
+    ) -> int:
         meta = json.loads(json.dumps(self._meta))
         sid = meta["current_snapshot_id"] + 1
-        sv = meta["current_schema_version"]
         for b in buckets:
             bdir = os.path.join(self.path, rel_path, f"_bucket={int(b)}")
             # Spark writes NO directory for an empty partition — a bucket
@@ -818,6 +952,11 @@ class LakeTable:
         return sid
 
     MAX_SNAPSHOT_LOG = 512
+    # Optimistic-concurrency retry budget for the metadata-version race.
+    # Each retry re-reads current metadata and re-publishes; contention at
+    # this layer is driver-only (microseconds of work), so a small budget
+    # covers realistic writer counts without masking livelock bugs.
+    MAX_COMMIT_RETRIES = 5
 
     def _commit_meta(self, meta: dict) -> None:
         if self._pinned:

@@ -9,7 +9,12 @@ from pyspark.sql import functions as F
 
 from etl_spark.cdc.apply import apply_batch
 from etl_spark.cdc.engine import CHANGE_SCHEMA, CdcEngine
-from etl_spark.lake.table import ConcurrentCommitError, LakeTable
+from etl_spark.lake.table import (
+    CommitConflictError,
+    ConcurrentCommitError,
+    EpochFencedError,
+    LakeTable,
+)
 
 T = lambda s: dt.datetime.fromisoformat(s)
 
@@ -49,15 +54,155 @@ def test_orphan_write_is_invisible_and_overwritten(spark, tmp_path):
     assert {r.text for r in fresh.table.snapshot_df().collect()} == {"v2"}
 
 
-def test_concurrent_commit_detected(spark, tmp_path):
+def _stage_delta(t, conv_id, text, lsn):
+    """Write (not commit) a one-row delta for ``conv_id``; returns
+    (rel_path, bucket)."""
+    df = t.spark.createDataFrame(
+        [(conv_id, 0, "user", text, None, T("2025-01-01 00:00:00"))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).select(
+        "*",
+        F.to_timestamp(F.lit("2025-01-01 00:01:00")).alias("_op_ts"),
+        F.lit(lsn).cast("long").alias("_lsn"),
+        F.lit(False).alias("_tombstone"),
+        t.bucket_expr(F.col("conv_id")).alias("_bucket"),
+    )
+    rel = t.new_data_rel("delta")
+    t.write_files(df, rel)
+    bucket = t.spark.createDataFrame([(conv_id,)], ["conv_id"]).select(
+        t.bucket_expr(F.col("conv_id")).alias("_b")).first()["_b"]
+    return rel, int(bucket)
+
+
+def test_lost_delta_race_rebases_and_succeeds(spark, tmp_path):
+    """Optimistic concurrency: a delta commit that loses the metadata
+    race to a DIFFERENT (source, epoch) retries against fresh metadata and
+    commits — both writers' rows end up in the table."""
     path = str(tmp_path / "tbl")
     eng = CdcEngine(spark, path, num_buckets=4)
-    stale = LakeTable(spark, path)  # second writer with the same view
     apply_batch(eng.table, _batch(spark, [
-        ("I", "c1", 0, "user", "x", None, T("2025-01-01 00:00:00"),
+        ("I", "c1", 0, "user", "seed", None, T("2025-01-01 00:00:00"),
          T("2025-01-01 00:00:01"), 1)]), epoch=0)
-    with pytest.raises(ConcurrentCommitError):
-        stale.commit_delta(0, "other", "", [], {})
+
+    stale = LakeTable(spark, path)  # loaded BEFORE the racing commit
+    rel_s, b_s = _stage_delta(stale, "c2", "stale-writer", 10)
+    rel_w, b_w = _stage_delta(eng.table, "c3", "winner", 11)
+    eng.table.commit_delta(1, "default", rel_w, [b_w])
+    # stale's in-memory version is now behind; the commit must retry, not fail
+    stale.commit_delta(0, "other-src", rel_s, [b_s])
+
+    fresh = LakeTable(spark, path)
+    texts = {r.text for r in fresh.snapshot_df().collect()}
+    assert {"seed", "winner", "stale-writer"} <= texts
+    assert fresh.committed_epoch("default") == 1
+    assert fresh.committed_epoch("other-src") == 0
+
+
+def test_same_epoch_race_is_fenced_exactly_once(spark, tmp_path):
+    """Two appliers racing the SAME (source, epoch): the loser's commit
+    raises EpochFencedError and apply_batch reports it as a fenced skip —
+    the winner's rows survive, the loser's delta is an orphan."""
+    path = str(tmp_path / "tbl")
+    eng = CdcEngine(spark, path, num_buckets=4)
+    apply_batch(eng.table, _batch(spark, [
+        ("I", "c1", 0, "user", "seed", None, T("2025-01-01 00:00:00"),
+         T("2025-01-01 00:00:01"), 1)]), epoch=0)
+
+    loser_tbl = LakeTable(spark, path)  # stale view: epoch 1 not yet fenced
+    apply_batch(eng.table, _batch(spark, [
+        ("U", "c1", 0, "user", "winner", None, T("2025-01-01 00:00:00"),
+         T("2025-01-01 00:02:00"), 2)]), epoch=1)
+    stats = apply_batch(loser_tbl, _batch(spark, [
+        ("U", "c1", 0, "user", "loser", None, T("2025-01-01 00:00:00"),
+         T("2025-01-01 00:03:00"), 3)]), epoch=1)
+    assert stats.skipped
+
+    fresh = LakeTable(spark, path)
+    assert {r.text for r in fresh.snapshot_df().collect()} == {"winner"}
+
+    # raw commit path surfaces the typed error
+    stale2 = LakeTable(spark, path)
+    rel, b = _stage_delta(stale2, "c9", "dup", 50)
+    eng.table.refresh()
+    rel2, b2 = _stage_delta(eng.table, "c9", "dup-winner", 51)
+    eng.table.commit_delta(2, "default", rel2, [b2])
+    with pytest.raises(EpochFencedError):
+        stale2.commit_delta(2, "default", rel, [b])
+
+
+def test_rebase_conflict_on_overlapping_bucket(spark, tmp_path):
+    """A compaction that lost the race to a concurrent delta on the SAME
+    bucket must raise CommitConflictError (blind retry would erase the
+    unseen delta); on DISJOINT buckets it retries and succeeds."""
+    path = str(tmp_path / "tbl")
+    eng = CdcEngine(spark, path, num_buckets=4)
+    # find two keys hashing to different buckets
+    keys = [f"k{i}" for i in range(16)]
+    bmap = {
+        r["conv_id"]: int(r["_b"])
+        for r in spark.createDataFrame([(k,) for k in keys], ["conv_id"])
+        .select("conv_id", eng.table.bucket_expr(F.col("conv_id")).alias("_b"))
+        .collect()
+    }
+    k_a = keys[0]
+    k_b = next(k for k in keys if bmap[k] != bmap[k_a])
+    apply_batch(eng.table, _batch(spark, [
+        ("I", k_a, 0, "user", "a0", None, T("2025-01-01 00:00:00"),
+         T("2025-01-01 00:00:01"), 1),
+        ("I", k_b, 0, "user", "b0", None, T("2025-01-01 00:00:00"),
+         T("2025-01-01 00:00:01"), 2)]), epoch=0)
+
+    # overlap: compactor folds bucket of k_a from a stale view while a
+    # concurrent delta updates k_a
+    compactor = LakeTable(spark, path)
+    rel_w, b_w = _stage_delta(eng.table, k_a, "a1-concurrent", 10)
+    eng.table.commit_delta(1, "default", rel_w, [b_w])
+    with pytest.raises(CommitConflictError):
+        compactor.compact(buckets=[bmap[k_a]])
+
+    # recompute against fresh state succeeds and keeps the concurrent row
+    compactor.refresh()
+    compactor.compact(buckets=[bmap[k_a]])
+    assert {r.text for r in LakeTable(spark, path).snapshot_df().collect()} \
+        == {"a1-concurrent", "b0"}
+
+    # disjoint: compactor folds k_b's bucket while a delta lands on k_a's
+    compactor2 = LakeTable(spark, path)
+    rel_w2, b_w2 = _stage_delta(eng.table, k_a, "a2-concurrent", 20)
+    based = int(compactor2.current_snapshot_id)
+    folded = compactor2.read_buckets([bmap[k_b]], with_internal=True, fold=True)
+    rel_c = compactor2.new_data_rel("base")
+    compactor2.write_files(folded, rel_c)
+    eng.table.refresh()
+    eng.table.commit_delta(2, "default", rel_w2, [b_w2])
+    compactor2.commit_rebase(
+        [bmap[k_b]], rel_c, kind="compaction", based_on=based)  # retries, no error
+    assert {r.text for r in LakeTable(spark, path).snapshot_df().collect()} \
+        == {"a2-concurrent", "b0"}
+
+
+def test_schema_evolution_race_retries(spark, tmp_path):
+    """evolve_schema that loses the metadata race recomputes the diff from
+    fresh metadata and lands the widened schema."""
+    import pyspark.sql.types as Ty
+
+    path = str(tmp_path / "tbl")
+    eng = CdcEngine(spark, path, num_buckets=4)
+    apply_batch(eng.table, _batch(spark, [
+        ("I", "c1", 0, "user", "seed", None, T("2025-01-01 00:00:00"),
+         T("2025-01-01 00:00:01"), 1)]), epoch=0)
+
+    evolver = LakeTable(spark, path)  # stale view
+    incoming = Ty.StructType(
+        list(evolver.schema().to_struct().fields)
+        + [Ty.StructField("extra_note", Ty.StringType())]
+    )
+    rel_w, b_w = _stage_delta(eng.table, "c2", "racer", 5)
+    eng.table.commit_delta(1, "default", rel_w, [b_w])
+    changes = evolver.evolve_schema(incoming)  # loses the race, retries
+    assert any("extra_note" in c for c in changes)
+    assert "extra_note" in [f.name for f in LakeTable(spark, path).schema().to_struct().fields]
 
 
 @pytest.mark.parametrize("seed", [7, 21, 1234])
