@@ -138,6 +138,64 @@ def lsh_table_signatures(
     return F.array(*tables)
 
 
+def _signed_rows(
+    df: DataFrame,
+    idc: str,
+    vecc: str,
+    id_alias: str,
+    v_alias: str,
+    num_tables: int,
+    planes_per_table: int,
+    dim: int | None,
+) -> DataFrame:
+    """One (id, vec, _tbl, _sig) row per hash table per input row:
+    projections computed ONCE per row via a single transform over the 2-D
+    plane literal, materialized behind a projection boundary so the
+    per-table sig assembly reads the array instead of recomputing
+    num_tables×planes aggregate trees (which bloats the Catalyst plan
+    ~24×: measured seconds of pure planning time)."""
+    if dim is None:  # empty corpus — signature shape only
+        return df.select(
+            F.col(idc).alias(id_alias), F.col(vecc).alias(v_alias),
+            F.explode(
+                lsh_table_signatures(F.col(vecc), num_tables, planes_per_table)
+            ).alias("_t"),
+        ).select(id_alias, v_alias, F.col("_t.tbl").alias("_tbl"),
+                 F.col("_t.sig").alias("_sig"))
+    planes = F.array(*[
+        F.array(*[F.lit(v) for v in _plane_values(gp, dim)])
+        for gp in range(num_tables * planes_per_table)
+    ])
+    projs = F.transform(
+        planes,
+        lambda pl: F.aggregate(
+            F.zip_with(F.col(vecc), pl, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    staged = df.select(
+        F.col(idc).alias(id_alias), F.col(vecc).alias(v_alias),
+        projs.alias("_projs"),
+    )
+    tables = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            F.concat(*[
+                F.when(
+                    F.col("_projs")[t * planes_per_table + p] > 0, F.lit("1")
+                ).otherwise(F.lit("0"))
+                for p in range(planes_per_table)
+            ]).alias("sig"),
+        )
+        for t in range(num_tables)
+    ]
+    return staged.select(
+        id_alias, v_alias, F.explode(F.array(*tables)).alias("_t")
+    ).select(id_alias, v_alias, F.col("_t.tbl").alias("_tbl"),
+             F.col("_t.sig").alias("_sig"))
+
+
 def lsh_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -162,55 +220,13 @@ def lsh_cosine_topk(
     first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(first["d"]) if first is not None else None
 
-    def _signed(df, idc, vecc, id_alias, v_alias):
-        """(id, vec, tbl, sig) rows: projections computed ONCE per row via
-        a single transform over the 2-D plane literal, materialized behind
-        a projection boundary so the per-table sig assembly reads the
-        array instead of recomputing 24 aggregate trees (which bloats the
-        Catalyst plan ~24×: measured seconds of pure planning time)."""
-        if dim is None:  # empty corpus — signature shape only
-            return df.select(
-                F.col(idc).alias(id_alias), F.col(vecc).alias(v_alias),
-                F.explode(
-                    lsh_table_signatures(F.col(vecc), num_tables, planes_per_table)
-                ).alias("_t"),
-            ).select(id_alias, v_alias, F.col("_t.tbl").alias("_tbl"),
-                     F.col("_t.sig").alias("_sig"))
-        planes = F.array(*[
-            F.array(*[F.lit(v) for v in _plane_values(gp, dim)])
-            for gp in range(num_tables * planes_per_table)
-        ])
-        projs = F.transform(
-            planes,
-            lambda pl: F.aggregate(
-                F.zip_with(F.col(vecc), pl, lambda x, w: x.cast("double") * w),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        staged = df.select(
-            F.col(idc).alias(id_alias), F.col(vecc).alias(v_alias),
-            projs.alias("_projs"),
-        )
-        tables = [
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.concat(*[
-                    F.when(
-                        F.col("_projs")[t * planes_per_table + p] > 0, F.lit("1")
-                    ).otherwise(F.lit("0"))
-                    for p in range(planes_per_table)
-                ]).alias("sig"),
-            )
-            for t in range(num_tables)
-        ]
-        return staged.select(
-            id_alias, v_alias, F.explode(F.array(*tables)).alias("_t")
-        ).select(id_alias, v_alias, F.col("_t.tbl").alias("_tbl"),
-                 F.col("_t.sig").alias("_sig"))
-
-    corpus = _signed(vectors, id_col, vec_col, "neighbor_id", "_v")
-    probes = _signed(queries, query_id_col, query_vec_col, query_id_col, "_qv")
+    corpus = _signed_rows(
+        vectors, id_col, vec_col, "neighbor_id", "_v", num_tables, planes_per_table, dim
+    )
+    probes = _signed_rows(
+        queries, query_id_col, query_vec_col, query_id_col, "_qv",
+        num_tables, planes_per_table, dim,
+    )
     cand = (
         F.broadcast(probes)
         .join(corpus, ["_tbl", "_sig"])
@@ -327,6 +343,67 @@ def embedding_near_dups(
         left.join(right, "_blk")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+    )
+
+
+def embedding_near_dups_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.30,
+    num_tables: int = 6,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate vector pairs with hyperplane-LSH candidate
+    generation (the scale-safe composition of ``embedding_near_dups``).
+
+    The label-blocked form is quadratic WITHIN a block — one skewed label
+    holding 10^7 vectors explodes it. Here the block IS the LSH bucket:
+    candidates are pairs sharing a (table, signature) bucket in ANY of
+    the ``num_tables`` hash tables (hot buckets capped at ``max_bucket``
+    like minhash's guard), then the exact cosine verifies candidates
+    only. Recall per table for pairs at angle θ is (1 − θ/π)^planes —
+    dial ``num_tables`` up / ``planes_per_table`` down for recall, the
+    reverse for cost. The shuffle carries (id, tbl, sig) rows, never the
+    vectors; vectors re-attach by id for the surviving candidates.
+    """
+    from pyspark.sql import Window
+
+    from . import ensure_parallelism
+
+    vectors = ensure_parallelism(vectors)
+    first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first is not None else None
+
+    signed = _signed_rows(
+        vectors, id_col, vec_col, "_id", "_v", num_tables, planes_per_table, dim
+    ).select("_id", "_tbl", "_sig")  # narrow: no vectors through the shuffle
+
+    wb = Window.partitionBy("_tbl", "_sig")
+    kept = (
+        signed.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .where(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+    cand = (
+        kept.join(
+            kept.select("_tbl", "_sig", F.col("_id").alias("_id_b")),
+            ["_tbl", "_sig"],
+        )
+        .where(F.col("_id") < F.col("_id_b"))
+        .select(F.col("_id").alias("id_a"), F.col("_id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    base = vectors.select(F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rv"))
+    pairs = (
+        cand.join(base.select(F.col("_rid").alias("id_a"), F.col("_rv").alias("v_a")), "id_a")
+        .join(base.select(F.col("_rid").alias("id_b"), F.col("_rv").alias("v_b")), "id_b")
+    )
+    return (
+        pairs.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
     )

@@ -134,22 +134,64 @@ def minhash_lsh_pairs(
     pairs only) → exact Jaccard verify ≥ threshold. Output one row per
     unordered pair (a < b) with the verified Jaccard.
     """
-    from pyspark.sql import Window
-
     from . import ensure_parallelism
 
-    rows_per_band = num_hashes // num_bands
-    docs = ensure_parallelism(docs)
-    base = docs.select(
+    base = ensure_parallelism(docs).select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), k).alias("_sh"),
     )
-    # Plan hygiene: signatures are expensive (num_hashes md5 passes over
-    # the shingle set); keep the exploded stream NARROW (id + band +
-    # bucket only — no shingle arrays through the shuffles), cap buckets
-    # with a single window count (one shuffle, no second aggregation
-    # branch re-evaluating the signatures), and re-attach shingles by id
-    # only for the surviving candidate pairs.
+    return _banded_verify_pairs(base, num_hashes, num_bands, threshold, max_bucket)
+
+
+def ngram_jaccard_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dups with MinHash-LSH candidate
+    generation (the scale-safe composition of ``ngram_jaccard_pairs``).
+
+    The blocked-pairwise form is quadratic WITHIN a block — one skewed
+    block (e.g. 10^7 same-source, same-length-bucket docs) explodes it.
+    This form replaces the coarse block with minhash band buckets over
+    the SAME char-shingle sets the verify stage uses: candidates are
+    band-colliding pairs only (sparse by construction, hot buckets
+    capped), and the exact n-gram Jaccard runs only on candidates. Same
+    verify semantics, linear-ish candidate volume at any corpus shape.
+    """
+    from . import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("_id"),
+        char_shingles(F.col(text_col), n).alias("_sh"),
+    )
+    return _banded_verify_pairs(base, num_hashes, num_bands, threshold, max_bucket)
+
+
+def _banded_verify_pairs(
+    base: DataFrame,
+    num_hashes: int,
+    num_bands: int,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Shared LSH-block → exact-Jaccard-verify tail over ``(_id, _sh)``.
+
+    Plan hygiene: signatures are expensive (num_hashes md5 passes over
+    the shingle set); keep the exploded stream NARROW (id + band +
+    bucket only — no shingle arrays through the shuffles), cap buckets
+    with a single window count (one shuffle, no second aggregation
+    branch re-evaluating the signatures), and re-attach shingles by id
+    only for the surviving candidate pairs.
+    """
+    from pyspark.sql import Window
+
+    rows_per_band = num_hashes // num_bands
     banded = base.select(
         "_id",
         F.explode(lsh_bands(F.col("_sh"), num_bands, rows_per_band)).alias("bb"),

@@ -16,9 +16,15 @@ from .operators.similarity import (
     cosine_topk_numpy,
     cosine_topk,
     embedding_near_dups,
+    embedding_near_dups_lsh,
     lsh_cosine_topk,
 )
-from .operators.textdedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_groups
+from .operators.textdedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_lsh,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
 from .operators.textstats import doc_profile
 from .queries import _t, register
 
@@ -139,6 +145,62 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Character n-gram Jaccard with MinHash-LSH candidate generation: the
+# scale-safe composition — same verify as dedup_ngram_jaccard, but the
+# quadratic stage runs only inside capped minhash band buckets over the
+# char-shingle sets (no coarse block to skew).
+
+_NGRAM_LSH_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_distinct(
+           CASE WHEN length(lower(trim(text))) >= 5
+                THEN list_transform(range(1, length(lower(trim(text))) - 3),
+                                    i -> substr(lower(trim(text)), i, 5))
+                ELSE [lower(trim(text))] END) AS sh
+  FROM documents
+), sigs AS (
+  SELECT id, sh,
+         list_transform(range(0, 16),
+           h -> list_min(list_transform(sh,
+                s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sig
+  FROM base
+), bands AS (
+  SELECT id, sh,
+         list_transform(range(0, 4),
+           b -> struct_pack(band := b,
+                bucket := md5(sig[b*4+1] || '|' || sig[b*4+2] || '|'
+                           || sig[b*4+3] || '|' || sig[b*4+4]))) AS bl
+  FROM sigs
+), banded AS (
+  SELECT id, sh, u.band AS band, u.bucket AS bucket
+  FROM (SELECT id, sh, UNNEST(bl) AS u FROM bands)
+), big AS (
+  SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) > 50
+), kept AS (
+  SELECT banded.* FROM banded
+  ANTI JOIN big ON banded.band = big.band AND banded.bucket = big.bucket
+), cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM kept a JOIN kept b USING (band, bucket)
+  WHERE a.id < b.id
+), pairs AS (
+  SELECT DISTINCT ON (doc_a, doc_b) doc_a, doc_b,
+         CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+           / len(list_distinct(list_concat(sh_a, sh_b))) AS j
+  FROM cand
+)
+SELECT doc_a, doc_b, round(j, 4) AS jaccard
+FROM pairs WHERE j >= 0.5
+"""
+
+
+@register("dedup_ngram_lsh", _NGRAM_LSH_ORACLE)
+def dedup_ngram_lsh(spark, sf_dir):
+    return ngram_jaccard_lsh(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup (semantic dedup), blocked by label
 
 _EMB_DUP_ORACLE = """
@@ -164,6 +226,57 @@ WHERE list_dot_product(a.e, b.e)
 @register("sim_embedding_near_dup", _EMB_DUP_ORACLE)
 def sim_embedding_near_dup(spark, sf_dir):
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup with hyperplane-LSH candidate generation: the
+# scale-safe composition — candidates are pairs sharing a (table, sig)
+# bucket in any of 6 hash tables (capped), exact cosine verifies. Same
+# signature machinery (and oracle CTEs) as sim_lsh_topk.
+
+_EMB_LSH_DUP_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sigl AS (
+  SELECT vec_id, e,
+         list_transform(range(0, 6), t -> struct_pack(
+           tbl := t,
+           sig := array_to_string(list_transform(range(0, 4), p ->
+             CASE WHEN list_sum(list_transform(range(0, len(e)), d ->
+                    e[d+1] * (CAST(strpos('0123456789abcdef',
+                         substr(md5('p' || CAST(t*4 + p AS VARCHAR) || '|'
+                                    || CAST(d AS VARCHAR)), 1, 1)) - 1
+                         AS DOUBLE) - 7.5))) > 0
+                  THEN '1' ELSE '0' END), ''))) AS tl
+  FROM v
+), sig AS (
+  SELECT vec_id, tbl, s FROM (
+    SELECT vec_id, u.tbl AS tbl, u.sig AS s
+    FROM (SELECT vec_id, UNNEST(tl) AS u FROM sigl))
+), big AS (
+  SELECT tbl, s FROM sig GROUP BY tbl, s HAVING count(*) > 200
+), kept AS (
+  SELECT sig.* FROM sig ANTI JOIN big ON sig.tbl = big.tbl AND sig.s = big.s
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM kept a JOIN kept b ON a.tbl = b.tbl AND a.s = b.s
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT id_a, id_b,
+         list_dot_product(va.e, vb.e)
+           / (sqrt(list_dot_product(va.e, va.e))
+            * sqrt(list_dot_product(vb.e, vb.e))) AS cos
+  FROM cand JOIN v va ON cand.id_a = va.vec_id
+            JOIN v vb ON cand.id_b = vb.vec_id
+)
+SELECT id_a, id_b, round(cos, 4) AS cos_r
+FROM scored WHERE cos >= 0.30
+"""
+
+
+@register("sim_near_dup_lsh", _EMB_LSH_DUP_ORACLE)
+def sim_near_dup_lsh(spark, sf_dir):
+    return embedding_near_dups_lsh(_t(spark, sf_dir, "embeddings"))
 
 
 # --------------------------------------------------------------------------
