@@ -17,6 +17,7 @@ from .operators.similarity import (
     cosine_topk,
     embedding_near_dups,
     embedding_near_dups_lsh,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from .operators.textdedup import (
@@ -330,6 +331,59 @@ def sim_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return lsh_cosine_topk(e, probes)
+
+
+# --------------------------------------------------------------------------
+# IVF-partitioned approximate top-k: the cell-partitioned ANN scale path.
+# Coarse quantizer = the 16 lowest-id vectors L2-normalized (deterministic
+# k-means stand-in), corpus assigned map-side by argmax cell, queries
+# probe their 4 best cells. Same result columns as the other top-k entries.
+
+_IVF_TOPK_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), seeds AS (
+  SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM v ORDER BY vec_id LIMIT 16
+), cn AS (
+  SELECT cell, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ce
+  FROM seeds
+), assign AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, cn.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, cn.ce) DESC, cn.cell ASC) AS rn
+    FROM v CROSS JOIN cn) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT v.vec_id AS query_id, v.e AS qe, cn.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, cn.ce) DESC, cn.cell ASC) AS rn
+    FROM v CROSS JOIN cn WHERE v.vec_id < 10) WHERE rn <= 4
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(p.qe, a.e)
+           / (sqrt(list_dot_product(p.qe, p.qe))
+            * sqrt(list_dot_product(a.e, a.e))) AS cos
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos_r, rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+@register("sim_ivf_topk", _IVF_TOPK_ORACLE)
+def sim_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_cosine_topk(e, probes)
 
 
 # Same logical query as sim_cosine_topk with (n_probes=500, k=3): the

@@ -76,12 +76,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
     )
-    if master.startswith("local"):
-        # Local-mode shuffle never crosses a network — blocks round-trip
-        # through the page cache — so lz4-compressing them is pure CPU
-        # overhead on the ingest's wide text rows (measured ~12% of 40M-event
-        # replay wall at 32 threads). On a real cluster leave compression ON:
-        # there the shuffle is network-bound and compression wins.
+    if master.startswith("local[") or master == "local":
+        # In-process local[N] ONLY (not local-cluster): single-JVM shuffle
+        # never crosses a socket — blocks round-trip through the page
+        # cache — so lz4-compressing them is pure CPU overhead on the
+        # ingest's wide text rows (measured ~12% of 40M-event replay wall
+        # at 32 threads). local-cluster and real clusters keep compression
+        # ON: their shuffle blocks move between JVMs through netty, where
+        # byte volume is the bottleneck.
         builder = (
             builder.config("spark.shuffle.compress", "false")
             .config("spark.shuffle.spill.compress", "false")

@@ -38,11 +38,35 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 cpus, log_dir, work, reps = int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4])
-os.environ["SPARK_GRAFT_DRIVER_MEM"] = "48g"
-os.environ["SPARK_GRAFT_DRIVER_JAVA_OPTS"] = "-XX:+UseParallelGC -Xmn32g"
+mode = sys.argv[5] if len(sys.argv) > 5 else "threads"
+if mode == "cluster":
+    # N vs 4N EXECUTORS (separate JVMs, own heap/GC) — the north rule's
+    # actual deployment shape. Per-executor resources held constant
+    # across levels (4 cores, 8g heap), exactly like growing a real
+    # cluster; only the executor count changes. The driver does no data
+    # work, so its memory stays small.
+    execs = cpus // 4
+    master = f"local-cluster[{{execs}},4,10240]"
+    # ParallelGCThreads MUST be pinned to the executor's core count: the
+    # JVM sizes it from the MACHINE's cores (32 here), so 8 colocated
+    # executors would otherwise spawn ~256 GC threads and thrash the box
+    # (measured: trivial 100M-row sum 14.6s unpinned vs 0.6s pinned).
+    # On a real cluster with one executor per node the default is fine.
+    extra = {{
+        "spark.executor.memory": "8g",
+        "spark.executor.extraJavaOptions":
+            "-XX:+UseParallelGC -XX:ParallelGCThreads=4 -Xmn2g",
+    }}
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = "8g"
+else:
+    master = f"local[{{cpus}}]"
+    extra = {{}}
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = "48g"
+    os.environ["SPARK_GRAFT_DRIVER_JAVA_OPTS"] = "-XX:+UseParallelGC -Xmn32g"
 from etl_spark.session import get_spark
 from etl_spark.cdc.engine import CdcEngine
-spark = get_spark(f"scaling_{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+spark = get_spark(f"scaling_{{cpus}}", master=master, shuffle_partitions=cpus,
+                  extra_conf=extra)
 runs = []
 for rep in range(reps):
     eng = CdcEngine(spark, os.path.join(work, f"tbl_{{cpus}}_{{rep}}"), num_buckets=32)
@@ -52,15 +76,17 @@ for rep in range(reps):
     n = sum(r.rows_in for r in rs)
     runs.append({{"wall_s": round(dt, 2), "events_per_s": round(n / dt, 1)}})
 runs_sorted = sorted(runs, key=lambda r: r["wall_s"])
-print(json.dumps({{"cpus": cpus, "events": n, "best": runs_sorted[0],
+print(json.dumps({{"cpus": cpus, "mode": mode, "events": n, "best": runs_sorted[0],
                    "median": runs_sorted[len(runs_sorted)//2], "all": runs}}))
 """
 
 
-def run_level(repo: str, cpus: int, log_dir: str, work: str, reps: int) -> dict:
+def run_level(
+    repo: str, cpus: int, log_dir: str, work: str, reps: int, mode: str = "threads"
+) -> dict:
     script = CHILD.format(repo=repo)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), log_dir, work, str(reps)],
+        [sys.executable, "-c", script, str(cpus), log_dir, work, str(reps), mode],
         capture_output=True, text=True, timeout=3600,
     )
     if out.returncode != 0:
@@ -82,7 +108,18 @@ def main() -> int:
         "steal regime, so the ratio is far less noise-biased than "
         "comparing levels measured minutes apart.",
     )
+    ap.add_argument(
+        "--cluster",
+        action="store_true",
+        help="executor mode: local-cluster[2,4,10g] vs local-cluster[8,4,10g] "
+        "— 2 vs 8 separate executor JVMs at 4 cores / 8g heap each, the "
+        "N→4N-EXECUTORS shape the north rule deploys (per-executor "
+        "resources constant, only the count scales). The threads mode "
+        "measures one shared JVM whose allocator/GC is the 4N bottleneck; "
+        "this mode isolates heaps like a real cluster does.",
+    )
     args = ap.parse_args()
+    mode = "cluster" if args.cluster else "threads"
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -104,8 +141,8 @@ def main() -> int:
 
         pairs = []
         for i in range(args.pairs):
-            r8 = run_level(repo, 8, log_dir, work, 2)
-            r32 = run_level(repo, 32, log_dir, work, 2)
+            r8 = run_level(repo, 8, log_dir, work, 2, mode)
+            r32 = run_level(repo, 32, log_dir, work, 2, mode)
             eff = r8["best"]["wall_s"] / r32["best"]["wall_s"] / 4.0
             pairs.append({
                 "local8_best_s": r8["best"]["wall_s"],
@@ -118,7 +155,7 @@ def main() -> int:
                     shutil.rmtree(os.path.join(work, d), ignore_errors=True)
         effs = sorted(p["efficiency"] for p in pairs)
         print(json.dumps({
-            "events": args.events, "mode": "interleaved_pairs", "pairs": pairs,
+            "events": args.events, "mode": f"interleaved_pairs_{mode}", "pairs": pairs,
             "efficiency_median": effs[len(effs) // 2],
             "efficiency_best": effs[-1],
             "target": 0.8,
@@ -126,12 +163,15 @@ def main() -> int:
         shutil.rmtree(work, ignore_errors=True)
         return 0
 
-    results = {cpus: run_level(repo, cpus, log_dir, work, args.reps) for cpus in (8, 32)}
+    results = {
+        cpus: run_level(repo, cpus, log_dir, work, args.reps, mode)
+        for cpus in (8, 32)
+    }
 
     t8, t32 = results[8]["best"]["events_per_s"], results[32]["best"]["events_per_s"]
     m8, m32 = results[8]["median"]["events_per_s"], results[32]["median"]["events_per_s"]
     print(json.dumps({
-        "events": args.events,
+        "events": args.events, "mode": mode,
         "local8": results[8], "local32": results[32],
         "speedup_best": round(t32 / t8, 3),
         "efficiency_best": round(t32 / t8 / 4.0, 3),

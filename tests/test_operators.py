@@ -26,6 +26,39 @@ def test_lsh_topk_recall_vs_brute(spark):
     assert recall >= 0.3, f"LSH recall collapsed: {recall}"
 
 
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF probes only n_probe cells, so it's approximate — but an exact
+    clone of a query vector lands in the query's own best cell (identical
+    centroid cosines), so planted clones must always be found at rank 1,
+    and overall recall vs brute force must be solid on real embeddings."""
+    from etl_spark.operators.similarity import ivf_cosine_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    brute = cosine_topk(e, probes, k=5).select("query_id", "neighbor_id").collect()
+    approx = ivf_cosine_topk(e, probes, k=5).select("query_id", "neighbor_id").collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+    # planted clone: vec_id+10000 duplicates each probe vector exactly
+    clones = probes.select(
+        (F.col("query_id") + 10000).alias("vec_id"), F.col("qv").alias("embedding")
+    )
+    top1 = (
+        ivf_cosine_topk(e.select("vec_id", "embedding").unionByName(clones), probes, k=1)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    for r in top1:
+        assert r.neighbor_id == r.query_id + 10000, (
+            f"clone of {r.query_id} not recalled at rank 1: got {r.neighbor_id}"
+        )
+
+
 def test_multimodal_batching_and_stub(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(7)
     media = docs_as_media(docs)
