@@ -488,3 +488,94 @@ FROM documents
 def media_features(spark, sf_dir):
     media = docs_as_media(_t(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+# --------------------------------------------------------------------------
+# Dataset-preparation family (operators/mlprep.py): deterministic split,
+# stratified sampling, PII redaction, greedy sequence packing, near-dup
+# connected components, boilerplate n-grams. All randomness is md5 so the
+# oracles reproduce every assignment bit-for-bit.
+
+from .operators.mlprep import (  # noqa: E402
+    boilerplate_ngrams,
+    boilerplate_ngrams_oracle,
+    dataset_split,
+    dataset_split_oracle,
+    near_dup_clusters,
+    near_dup_clusters_oracle,
+    pack_sequences,
+    pack_sequences_oracle,
+    pii_redact,
+    pii_redact_oracle,
+    stratified_sample,
+    stratified_sample_oracle,
+)
+
+
+@register("prep_dataset_split", dataset_split_oracle())
+def prep_dataset_split(spark, sf_dir):
+    return dataset_split(_t(spark, sf_dir, "documents"))
+
+
+@register("prep_stratified_sample", stratified_sample_oracle(0.2))
+def prep_stratified_sample(spark, sf_dir):
+    return stratified_sample(_t(spark, sf_dir, "documents"), 0.2)
+
+
+# The synthetic corpus contains no PII, which would make a redaction
+# oracle vacuously green — so the query deterministically plants spans
+# derived from doc_id (identically on both engines) before redacting.
+_PII_PLANTED_SQL = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END
+       || CASE WHEN doc_id % 5 = 0
+               THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST(doc_id % 200 + 1 AS VARCHAR)
+               ELSE '' END
+       || CASE WHEN doc_id % 7 = 0
+               THEN ' call +44 207 946 0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               ELSE '' END AS text
+FROM documents
+"""
+
+
+@register("prep_pii_redact", pii_redact_oracle(table=f"({_PII_PLANTED_SQL})"))
+def prep_pii_redact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0,
+                   F.concat(F.lit(" mail user"), did.cast("string"),
+                            F.lit("@example.com"))).otherwise(""),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                            F.lit("."), (did % 200 + 1).cast("string"))
+                   ).otherwise(""),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" call +44 207 946 0"),
+                            F.lpad((did % 1000).cast("string"), 3, "0"))
+                   ).otherwise(""),
+        ).alias("text"),
+    )
+    return pii_redact(planted)
+
+
+@register("prep_pack_sequences", pack_sequences_oracle())
+def prep_pack_sequences(spark, sf_dir):
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+@register("prep_near_dup_clusters", near_dup_clusters_oracle(_MINHASH_ORACLE))
+def prep_near_dup_clusters(spark, sf_dir):
+    return near_dup_clusters(_t(spark, sf_dir, "documents"))
+
+
+@register("prep_boilerplate_ngrams", boilerplate_ngrams_oracle())
+def prep_boilerplate_ngrams(spark, sf_dir):
+    return boilerplate_ngrams(_t(spark, sf_dir, "documents"))

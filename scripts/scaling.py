@@ -118,7 +118,22 @@ def main() -> int:
         "measures one shared JVM whose allocator/GC is the 4N bottleneck; "
         "this mode isolates heaps like a real cluster does.",
     )
+    ap.add_argument(
+        "--levels",
+        type=int,
+        nargs=2,
+        default=[8, 32],
+        metavar=("N", "M"),
+        help="the two parallelism levels to compare (default 8 32). "
+        "8→32 saturates this 32-core box — the 4N level then has ZERO "
+        "spare cores for GC/JIT/OS/python-driver work that a real "
+        "cluster's extra nodes bring with them, structurally "
+        "understating efficiency. 4→16 keeps both levels unsaturated "
+        "and is the cleaner single-box proxy for adding nodes.",
+    )
     args = ap.parse_args()
+    lo, hi = args.levels
+    factor = hi / lo
     mode = "cluster" if args.cluster else "threads"
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -141,12 +156,12 @@ def main() -> int:
 
         pairs = []
         for i in range(args.pairs):
-            r8 = run_level(repo, 8, log_dir, work, 2, mode)
-            r32 = run_level(repo, 32, log_dir, work, 2, mode)
-            eff = r8["best"]["wall_s"] / r32["best"]["wall_s"] / 4.0
+            r8 = run_level(repo, lo, log_dir, work, 2, mode)
+            r32 = run_level(repo, hi, log_dir, work, 2, mode)
+            eff = r8["best"]["wall_s"] / r32["best"]["wall_s"] / factor
             pairs.append({
-                "local8_best_s": r8["best"]["wall_s"],
-                "local32_best_s": r32["best"]["wall_s"],
+                f"local{lo}_best_s": r8["best"]["wall_s"],
+                f"local{hi}_best_s": r32["best"]["wall_s"],
                 "efficiency": round(eff, 3),
             })
             print(json.dumps({"pair": i, **pairs[-1]}), file=sys.stderr)
@@ -165,18 +180,18 @@ def main() -> int:
 
     results = {
         cpus: run_level(repo, cpus, log_dir, work, args.reps, mode)
-        for cpus in (8, 32)
+        for cpus in (lo, hi)
     }
 
-    t8, t32 = results[8]["best"]["events_per_s"], results[32]["best"]["events_per_s"]
-    m8, m32 = results[8]["median"]["events_per_s"], results[32]["median"]["events_per_s"]
+    t8, t32 = results[lo]["best"]["events_per_s"], results[hi]["best"]["events_per_s"]
+    m8, m32 = results[lo]["median"]["events_per_s"], results[hi]["median"]["events_per_s"]
     print(json.dumps({
-        "events": args.events, "mode": mode,
-        "local8": results[8], "local32": results[32],
+        "events": args.events, "mode": mode, "levels": [lo, hi],
+        f"local{lo}": results[lo], f"local{hi}": results[hi],
         "speedup_best": round(t32 / t8, 3),
-        "efficiency_best": round(t32 / t8 / 4.0, 3),
+        "efficiency_best": round(t32 / t8 / factor, 3),
         "speedup_median": round(m32 / m8, 3),
-        "efficiency_median": round(m32 / m8 / 4.0, 3),
+        "efficiency_median": round(m32 / m8 / factor, 3),
         "target": 0.8,
     }))
     import shutil

@@ -185,3 +185,55 @@ def test_skewed_block_routes_through_lsh(spark):
     tfound = {(r.doc_a, r.doc_b) for r in tgot}
     assert {(i, i + n) for i in range(dups)} <= tfound
     assert t_wall < 180, f"LSH ngram dedup took {t_wall:.0f}s on one hot block"
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    """Every pack obeys the budget unless a single document exceeds it,
+    packs are contiguous per shard, and membership is deterministic."""
+    from etl_spark.operators.mlprep import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = pack_sequences(docs, budget=64, n_shards=4).toPandas()
+    assert len(out) == docs.count()
+    for (_, pack), grp in out.groupby(["shard", "pack_id"]):
+        total = grp.n_tokens.sum()
+        assert total <= 64 or len(grp) == 1, (pack, total, len(grp))
+    # pack ids contiguous from 0 per shard
+    for shard, grp in out.groupby("shard"):
+        ids = sorted(grp.pack_id.unique())
+        assert ids == list(range(len(ids)))
+    # deterministic across reruns
+    again = pack_sequences(docs, budget=64, n_shards=4).toPandas()
+    assert out.sort_values("doc_id", ignore_index=True).equals(
+        again.sort_values("doc_id", ignore_index=True)
+    )
+
+
+def test_near_dup_clusters_consistency(spark):
+    """Both endpoints of every LSH pair land in the same cluster and the
+    cluster id is the smallest member id."""
+    from etl_spark.operators.mlprep import near_dup_clusters
+    from etl_spark.operators.textdedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    clusters = near_dup_clusters(docs).toPandas()
+    label = dict(zip(clusters.doc_id, clusters.cluster_id))
+    pairs = minhash_lsh_pairs(docs).toPandas()
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        assert label[a] == label[b], (a, b)
+    for cid, grp in clusters.groupby("cluster_id"):
+        assert cid == grp.doc_id.min()
+
+
+def test_dataset_split_stability(spark):
+    """Split assignment depends only on (salt, id): subsetting the corpus
+    never moves a surviving document between splits."""
+    from etl_spark.operators.mlprep import dataset_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full = dataset_split(docs).toPandas()
+    frac = full.split.value_counts(normalize=True)
+    assert 0.8 < frac.get("train", 0) < 0.98
+    sub = dataset_split(docs.where(F.col("doc_id") % 2 == 0)).toPandas()
+    merged = sub.merge(full, on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged.split_sub == merged.split_full).all()
