@@ -1,6 +1,7 @@
 """Operator package; shared plumbing helpers."""
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -19,3 +20,63 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def bucket_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+    a_alias: str = "id_a",
+    b_alias: str = "id_b",
+) -> DataFrame:
+    """Distinct ordered candidate pairs (a < b) of ids sharing an LSH
+    bucket, hot buckets dropped. Shared tail of every blocked near-dup
+    operator (minhash bands, hyperplane tables).
+
+    Plan shape (deliberate): a map-combined ``groupBy(keys).count`` emits
+    one tiny row per bucket (skew-safe: partial aggregation collapses a
+    hot bucket's rows executor-side before the shuffle); an anti-join
+    against the over-cap keys drops hot buckets BEFORE any per-bucket
+    list materializes — so no aggregation buffer ever holds more than
+    ``max_bucket`` ids even when one degenerate bucket holds 10^7 rows.
+    The anti-join shuffles the banded rows ON the bucket keys, and the
+    following ``collect_list`` groupBy reuses that exact partitioning
+    (no second shuffle of the banded stream). Pair expansion is a
+    map-side higher-order transform over the sorted id list — at most
+    max_bucket*(max_bucket-1)/2 pairs per bucket, generated without a
+    self-join. Net: ONE full shuffle of the narrow (id, keys) stream,
+    versus window-count + self-join's three.
+    """
+    keys = [F.col(c) for c in key_cols]
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") > max_bucket)
+        .select(*key_cols)
+    )
+    cold = df.join(hot, key_cols, "left_anti")
+    grouped = (
+        cold.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        # lower bound: singleton buckets yield no pairs; upper bound
+        # re-asserts the cap for NULL-keyed rows, which never equal a key
+        # in `hot` and so sail through the anti-join regardless of size
+        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("_ids"), i + 2, F.size(F.col("_ids")) - i - 1
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select(F.col("_p.a").alias(a_alias), F.col("_p.b").alias(b_alias))
+    return pairs.dropDuplicates([a_alias, b_alias])

@@ -468,9 +468,7 @@ def embedding_near_dups_lsh(
     reverse for cost. The shuffle carries (id, tbl, sig) rows, never the
     vectors; vectors re-attach by id for the surviving candidates.
     """
-    from pyspark.sql import Window
-
-    from . import ensure_parallelism
+    from . import bucket_pairs, ensure_parallelism
 
     vectors = ensure_parallelism(vectors)
     first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -480,21 +478,7 @@ def embedding_near_dups_lsh(
         vectors, id_col, vec_col, "_id", "_v", num_tables, planes_per_table, dim
     ).select("_id", "_tbl", "_sig")  # narrow: no vectors through the shuffle
 
-    wb = Window.partitionBy("_tbl", "_sig")
-    kept = (
-        signed.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-        .where(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
-    )
-    cand = (
-        kept.join(
-            kept.select("_tbl", "_sig", F.col("_id").alias("_id_b")),
-            ["_tbl", "_sig"],
-        )
-        .where(F.col("_id") < F.col("_id_b"))
-        .select(F.col("_id").alias("id_a"), F.col("_id_b").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = bucket_pairs(signed, ["_tbl", "_sig"], "_id", max_bucket)
     base = vectors.select(F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rv"))
     pairs = (
         cand.join(base.select(F.col("_rid").alias("id_a"), F.col("_rv").alias("v_a")), "id_a")

@@ -184,12 +184,13 @@ def _banded_verify_pairs(
 
     Plan hygiene: signatures are expensive (num_hashes md5 passes over
     the shingle set); keep the exploded stream NARROW (id + band +
-    bucket only — no shingle arrays through the shuffles), cap buckets
-    with a single window count (one shuffle, no second aggregation
-    branch re-evaluating the signatures), and re-attach shingles by id
-    only for the surviving candidate pairs.
+    bucket only — no shingle arrays through the shuffles), generate
+    candidate pairs with the shared one-shuffle ``bucket_pairs`` tail
+    (map-combined hot-bucket cap + collect_list pair expansion — see
+    its docstring for why this beats window-count + self-join), and
+    re-attach shingles by id only for the surviving candidate pairs.
     """
-    from pyspark.sql import Window
+    from . import bucket_pairs
 
     rows_per_band = num_hashes // num_bands
     banded = base.select(
@@ -197,20 +198,8 @@ def _banded_verify_pairs(
         F.explode(lsh_bands(F.col("_sh"), num_bands, rows_per_band)).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    wb = Window.partitionBy("band", "bucket")
-    banded = (
-        banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-        .where(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
-    )
-
-    left = banded.select("band", "bucket", F.col("_id").alias("doc_a"))
-    right = banded.select("band", "bucket", F.col("_id").alias("doc_b"))
-    cand = (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand = bucket_pairs(
+        banded, ["band", "bucket"], "_id", max_bucket, "doc_a", "doc_b"
     )
     pairs = (
         cand.join(base.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a")), "doc_a")
