@@ -624,4 +624,10 @@ def sim_cosine_topk(spark, sf_dir):
 # --------------------------------------------------------------------------
 # extension registries (import side effect: they register into QUERIES/ORACLES)
 
-from . import queries_cdc, queries_corpus, queries_derivates, queries_ext  # noqa: E402,F401
+from . import (  # noqa: E402,F401
+    queries_cdc,
+    queries_corpus,
+    queries_derivates,
+    queries_enrich,
+    queries_ext,
+)

@@ -49,14 +49,19 @@ def stringify(pdf: pd.DataFrame) -> pd.DataFrame:
 def assert_pdf_equal(left: pd.DataFrame, right: pd.DataFrame, key_cols: list[str]):
     """Order-insensitive, driver-strict frame equality.
 
-    Sorts rows by ``key_cols``, then asserts cell-by-cell equality of the
-    *stringified* frames (the driver's hash semantics). Timestamps are
+    Stringifies every cell (the driver's hash semantics), then sorts rows
+    by ALL columns — a multiset comparison that no tie in a key-column
+    prefix can break (sorting by ``key_cols`` alone false-failed queries
+    whose first few name-sorted columns aren't a unique key). Stringify
+    BEFORE sorting also makes array cells sortable. Timestamps are
     normalized to tz-naive datetime64[us] first since parquet round-trips
-    differ only in tz annotation between Spark and DuckDB.
+    differ only in tz annotation between Spark and DuckDB. ``key_cols`` is
+    kept for call-site readability but no longer narrows the sort.
     """
-    left = _normalize(left)[sorted(left.columns)]
-    right = _normalize(right)[sorted(right.columns)]
-    assert sorted(left.columns) == sorted(right.columns), (left.columns, right.columns)
-    left = left.sort_values(key_cols, ignore_index=True)
-    right = right.sort_values(key_cols, ignore_index=True)
-    pd.testing.assert_frame_equal(stringify(left), stringify(right))
+    left = stringify(_normalize(left)[sorted(left.columns)])
+    right = stringify(_normalize(right)[sorted(right.columns)])
+    assert list(left.columns) == list(right.columns), (left.columns, right.columns)
+    cols = list(left.columns)
+    left = left.sort_values(cols, ignore_index=True)
+    right = right.sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(left, right)
