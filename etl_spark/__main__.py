@@ -136,6 +136,22 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--conv-ids", required=True, help="comma-separated conversation ids to erase")
     d.add_argument("--request-id", type=int, required=True, help="idempotency key; replays are fenced")
 
+    dw = sub.add_parser(
+        "delete-where", help="row-level DELETE by SQL predicate (delta commit, fenced)"
+    )
+    dw.add_argument("--table", required=True)
+    dw.add_argument("--where", required=True, help="SQL predicate over payload columns")
+    dw.add_argument("--request-id", type=int, required=True, help="idempotency key; replays are fenced")
+
+    uw = sub.add_parser(
+        "update-where", help="row-level UPDATE by SQL predicate (delta commit, fenced)"
+    )
+    uw.add_argument("--table", required=True)
+    uw.add_argument("--set", required=True, action="append", metavar="COL=EXPR",
+                    help="assignment, repeatable; EXPR may read pre-image columns")
+    uw.add_argument("--where", required=True, help="SQL predicate over payload columns")
+    uw.add_argument("--request-id", type=int, required=True, help="idempotency key; replays are fenced")
+
     args = p.parse_args(argv)
 
     from etl_spark.session import get_spark
@@ -317,6 +333,34 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "deleted": sid is not None, "snapshot_id": sid,
             "conv_ids": len(ids),
+            "rows": eng.table.snapshot_df().count(),
+        }))
+        return 0
+
+    if args.cmd == "delete-where":
+        from etl_spark.cdc.maintenance import delete_where
+
+        eng = CdcEngine(spark, args.table)
+        sid = delete_where(eng.table, args.where, request_id=args.request_id)
+        print(json.dumps({
+            "deleted": sid is not None, "snapshot_id": sid,
+            "rows": eng.table.snapshot_df().count(),
+        }))
+        return 0
+
+    if args.cmd == "update-where":
+        from etl_spark.cdc.maintenance import update_where
+
+        eng = CdcEngine(spark, args.table)
+        sets = {}
+        for a in args.set:
+            col, _, expr = a.partition("=")
+            if not _:
+                raise SystemExit(f"--set expects COL=EXPR, got {a!r}")
+            sets[col.strip()] = expr.strip()
+        sid = update_where(eng.table, sets, args.where, request_id=args.request_id)
+        print(json.dumps({
+            "updated": sid is not None, "snapshot_id": sid,
             "rows": eng.table.snapshot_df().count(),
         }))
         return 0

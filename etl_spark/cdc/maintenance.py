@@ -120,3 +120,125 @@ def expunge_tombstones(table: LakeTable, before_op_ts: str) -> int | None:
     return table.commit_rebase(
         dirty, rel, kind="expunge", extra={"before_op_ts": before_op_ts}
     )
+
+
+def _dml_targets(table: LakeTable, predicate: str):
+    """Resolve a SQL predicate against the LIVE snapshot: the folded,
+    tombstone-filtered rows it matches, the buckets they live in, and the
+    (watermark, lsn) stamp a resulting DML delta must carry to beat every
+    change applied so far (same stamping contract as GDPR deletes —
+    genuinely newer stream traffic still wins)."""
+    matched = (
+        table.read_buckets(None, with_internal=True, fold=True)
+        .where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
+        .where(F.expr(predicate))
+    )
+    wm = table.watermark_any() or "1970-01-01 00:00:00"
+    agg = matched.agg(
+        F.max("_lsn").alias("mx"),
+        F.collect_set("_bucket").alias("bks"),
+    ).first()
+    max_lsn, buckets = agg["mx"], sorted(int(b) for b in (agg["bks"] or []))
+    stamp_lsn = (int(max_lsn) + 1) if max_lsn is not None else _REQUEST_LSN_FALLBACK
+    return matched, buckets, wm, stamp_lsn
+
+
+def delete_where(
+    table: LakeTable,
+    predicate: str,
+    request_id: int,
+    source: str = "dml",
+) -> int | None:
+    """Row-level ``DELETE FROM t WHERE <predicate>`` as a delta commit
+    (reference analogue: the delete leg of the delete+insert day
+    re-statement, insert_user_history.sql:301-311 — generalized to any
+    predicate).
+
+    Same physics as a CDC delete: the matched keys get tombstones in a
+    delta file set (O(matched), never a base rewrite), stamped to beat
+    everything applied so far while losing to genuinely newer stream
+    traffic. Exactly-once per (source, request_id); bytes disappear at
+    expunge + vacuum. Returns the snapshot id, None if fenced, and 0
+    matched rows commit an empty (fencing-only) delta so replaying the
+    request stays a no-op.
+    """
+    table.refresh()
+    if request_id <= table.committed_epoch(source):
+        return None
+    matched, buckets, wm, stamp_lsn = _dml_targets(table, predicate)
+    schema = table.schema()
+    keep_cols = set(table.key_cols) | (
+        {table.stats_col} if table.stats_col else set()
+    )
+    tomb = matched.select(
+        *[
+            F.col(f.name) if f.name in keep_cols
+            else F.lit(None).cast(f.type).alias(f.name)
+            for f in schema.fields
+        ],
+        F.to_timestamp(F.lit(wm)).alias("_op_ts"),
+        F.lit(stamp_lsn).cast("long").alias("_lsn"),
+        F.lit(True).alias("_tombstone"),
+        F.col("_bucket"),
+    )
+    rel = table.write_files(tomb, table.new_data_rel("delta")) if buckets else ""
+    return table.commit_delta(
+        request_id, source, rel, buckets,
+        stats={"kind": "delete_where", "predicate": predicate},
+    )
+
+
+def update_where(
+    table: LakeTable,
+    set_exprs: dict[str, str],
+    predicate: str,
+    request_id: int,
+    source: str = "dml",
+) -> int | None:
+    """Row-level ``UPDATE t SET col = expr, ... WHERE <predicate>`` as a
+    delta commit (reference analogue: the targeted UPDATE legs of
+    appsflyer/update_user_map.sql:208-269's MERGE).
+
+    New row images (matched rows with the SET expressions applied) are
+    appended as a delta and win the LWW fold by the same stamping
+    contract as ``delete_where``; nothing is rewritten in place. SET
+    expressions may reference any payload column of the pre-image. Key
+    columns cannot be SET (that is a delete+insert, not an update), and
+    the event-time stats column cannot be SET when time pruning is
+    enabled (file-skipping stats must stay truthful).
+    """
+    table.refresh()
+    if request_id <= table.committed_epoch(source):
+        return None
+    schema = table.schema()
+    names = set(schema.names())
+    forbidden = set(table.key_cols) | (
+        {table.stats_col} if table.stats_col else set()
+    )
+    for c in set_exprs:
+        if c not in names:
+            raise ValueError(f"SET column {c!r} not in table schema")
+        if c in forbidden:
+            raise ValueError(
+                f"SET column {c!r} is a key/event-time column — "
+                "delete+insert instead"
+            )
+    matched, buckets, wm, stamp_lsn = _dml_targets(table, predicate)
+    images = matched.select(
+        *[
+            F.expr(set_exprs[f.name]).cast(f.type).alias(f.name)
+            if f.name in set_exprs
+            else F.col(f.name)
+            for f in schema.fields
+        ],
+        F.to_timestamp(F.lit(wm)).alias("_op_ts"),
+        F.lit(stamp_lsn).cast("long").alias("_lsn"),
+        F.lit(False).alias("_tombstone"),
+        F.col("_bucket"),
+    )
+    rel = table.write_files(images, table.new_data_rel("delta")) if buckets else ""
+    return table.commit_delta(
+        request_id, source, rel, buckets,
+        stats={"kind": "update_where", "predicate": predicate,
+               "set": sorted(set_exprs)},
+    )
