@@ -441,3 +441,87 @@ SELECT gram, count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_occurrences, min(doc_id) AS min_doc_id
 FROM exploded GROUP BY gram HAVING count(DISTINCT doc_id) >= {min_docs}
 """
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one n-word-gram with any evaluation document (the standard
+    guard against eval leakage into a training corpus).
+
+    Returns one row per train doc: ``(id, n_hits, contaminated)`` where
+    ``n_hits`` counts the doc's DISTINCT leaked n-grams.
+
+    Scale shape: the eval side collapses to a DISTINCT gram set before
+    the join — eval suites are small (10^3-10^5 docs), so the gram set
+    broadcasts and the train side never shuffles: explode → broadcast
+    semi-probe → partial-aggregated count by doc id. At extreme eval
+    sizes, hash each gram to 64 bits first (xxhash64) to shrink the
+    broadcast ~10×; kept as raw strings here so the DuckDB oracle
+    reproduces the exact join keys.
+    """
+    from .textdedup import word_shingles
+
+    egrams = (
+        eval_docs.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    tgrams = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        tgrams.join(F.broadcast(egrams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))  # grams pre-distinct per doc
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.col("n_hits").isNotNull().alias("contaminated"),
+        )
+    )
+
+
+def _oracle_word_shingles(n: int, text_col: str = "text") -> str:
+    """DuckDB rendering of textdedup.word_shingles (distinct n-word grams,
+    whole-text fallback for docs shorter than n tokens)."""
+    toks = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} "
+        f"THEN list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+def decontaminate_oracle(
+    train_sql: str,
+    eval_sql: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+    WITH egrams AS (
+      SELECT DISTINCT unnest({_oracle_word_shingles(n)}) AS gram
+      FROM ({eval_sql})
+    ), tgrams AS (
+      SELECT {id_col}, unnest({_oracle_word_shingles(n)}) AS gram
+      FROM ({train_sql})
+    ), hits AS (
+      SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_hits
+      FROM tgrams JOIN egrams USING (gram)
+      GROUP BY {id_col}
+    )
+    SELECT t.{id_col},
+           COALESCE(h.n_hits, 0) AS n_hits,
+           h.n_hits IS NOT NULL AS contaminated
+    FROM ({train_sql}) t LEFT JOIN hits h USING ({id_col})
+    """

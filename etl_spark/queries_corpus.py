@@ -497,6 +497,8 @@ def media_features(spark, sf_dir):
 # oracles reproduce every assignment bit-for-bit.
 
 from .operators.mlprep import (  # noqa: E402
+    decontaminate,
+    decontaminate_oracle,
     boilerplate_ngrams,
     boilerplate_ngrams_oracle,
     dataset_split,
@@ -520,6 +522,32 @@ def prep_dataset_split(spark, sf_dir):
 @register("prep_stratified_sample", stratified_sample_oracle(0.2))
 def prep_stratified_sample(spark, sf_dir):
     return stratified_sample(_t(spark, sf_dir, "documents"), 0.2)
+
+
+# Decontamination: train split vs the held-out test split of the SAME
+# hash split that prep_dataset_split assigns — the synthetic corpus's
+# planted exact/near duplicates that straddle the split boundary are the
+# leaked documents the operator must flag.
+_SPLIT_U = (
+    "(CAST(('0x' || substring(md5('split-v1' || '|' || CAST(doc_id AS VARCHAR)),"
+    " 1, 15)) AS BIGINT) / CAST(pow(2, 60) AS DOUBLE))"
+)
+_TRAIN_SQL = f"SELECT * FROM documents WHERE {_SPLIT_U} < 0.9"
+_EVAL_SQL = f"SELECT * FROM documents WHERE {_SPLIT_U} >= 0.95"
+
+
+@register(
+    "prep_decontaminate", decontaminate_oracle(_TRAIN_SQL, _EVAL_SQL, n=8)
+)
+def prep_decontaminate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    split = dataset_split(docs)  # train 0.9 / val 0.05 / test 0.05
+    labeled = docs.join(split, "doc_id")
+    return decontaminate(
+        labeled.where(F.col("split") == "train").drop("split"),
+        labeled.where(F.col("split") == "test").drop("split"),
+        n=8,
+    )
 
 
 # The synthetic corpus contains no PII, which would make a redaction
