@@ -525,3 +525,82 @@ def decontaminate_oracle(
            h.n_hits IS NOT NULL AS contaminated
     FROM ({train_sql}) t LEFT JOIN hits h USING ({id_col})
     """
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-budget overlapping token windows (the
+    dual of ``pack_sequences``; the standard pre-pass for context-length
+    capping and retrieval indexing).
+
+    Chunk i covers whitespace tokens [1 + i*stride, +chunk_tokens) with
+    stride = chunk_tokens - overlap; the chunk count is
+    ceil(max(n_tokens - overlap, 1) / stride), so every token lands in
+    at least one chunk, consecutive chunks share ``overlap`` tokens, and
+    a doc shorter than one budget yields exactly one whole-doc chunk.
+
+    Scale shape: a zero-shuffle projection — tokenize, generate chunk
+    starts with ``sequence``, slice and re-join per chunk, explode. All
+    whole-stage codegen; output rows ≈ input tokens / stride regardless
+    of document skew (one 10^6-token document becomes many rows, not one
+    hot task).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    # case-preserving split (unlike textdedup.tokens): chunk text is
+    # payload, not a matching key
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)) / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(toks, i * stride + 1, chunk_tokens).alias("_ct"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.size("_c._ct").alias("n_tokens"),
+        F.concat_ws(" ", "_c._ct").alias("chunk_text"),
+    )
+
+
+def chunk_documents_oracle(
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    stride = chunk_tokens - overlap
+    toks = f"string_split_regex(trim({text_col}), '\\s+')"
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, {toks} AS toks,
+             CAST(ceil(greatest(len({toks}) - {overlap}, 1)
+                       / {stride}.0) AS INT) AS n_chunks
+      FROM {table}
+    ), c AS (
+      SELECT {id_col}, unnest(range(0, n_chunks)) AS chunk_idx, toks
+      FROM t
+    )
+    SELECT {id_col},
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx * {stride} + 1,
+                               chunk_idx * {stride} + {chunk_tokens})) AS INT
+               ) AS n_tokens,
+           array_to_string(list_slice(toks, chunk_idx * {stride} + 1,
+                                      chunk_idx * {stride} + {chunk_tokens}),
+                           ' ') AS chunk_text
+    FROM c
+    """

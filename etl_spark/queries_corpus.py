@@ -497,6 +497,8 @@ def media_features(spark, sf_dir):
 # oracles reproduce every assignment bit-for-bit.
 
 from .operators.mlprep import (  # noqa: E402
+    chunk_documents,
+    chunk_documents_oracle,
     decontaminate,
     decontaminate_oracle,
     boilerplate_ngrams,
@@ -534,6 +536,11 @@ _SPLIT_U = (
 )
 _TRAIN_SQL = f"SELECT * FROM documents WHERE {_SPLIT_U} < 0.9"
 _EVAL_SQL = f"SELECT * FROM documents WHERE {_SPLIT_U} >= 0.95"
+
+
+@register("prep_chunk_documents", chunk_documents_oracle(32, 8))
+def prep_chunk_documents(spark, sf_dir):
+    return chunk_documents(_t(spark, sf_dir, "documents"), 32, 8)
 
 
 @register(
