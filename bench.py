@@ -77,11 +77,13 @@ def main() -> int:
         warm = CdcEngine(spark, os.path.join(work, "warm"), num_buckets=32)
         warm.replay(log_dir)
 
-        # min-of-2: the sandbox host shows episodic steal (documented in
-        # BASELINE.md) that can inflate any single run 2-4x; the better of
-        # two timed replays measures the engine, not the co-tenant
+        # min-of-3 for the HEADLINE metric: the sandbox host shows episodic
+        # steal (documented in BASELINE.md) that can inflate any single run
+        # 2-4x; the best of three timed replays measures the engine, not
+        # the co-tenant (operator queries below stay min-of-2 — same
+        # protection, 57x cheaper to buy)
         replay_s, results, eng = None, None, None
-        for rep in range(2):
+        for rep in range(3):
             e = CdcEngine(spark, os.path.join(work, f"table{rep}"), num_buckets=32)
             t0 = time.time()
             r = e.replay(log_dir)
