@@ -105,6 +105,23 @@ def lww_dedup_join(
     Compared to ``lww_dedup`` (max-struct), this trades one extra narrow
     shuffle for eliminating BOTH full-row sorts — wins when rows are wide
     (transcript text) and dup factor is modest.
+
+    The join-back is hinted SHUFFLE_HASH: without it Spark picks
+    sort-merge and re-introduces exactly the two wide-row sorts this
+    strategy exists to avoid (measured on a 40M-row epoch: sort-merge
+    17.4 s vs shuffle-hash 9.5-11.1 s vs max-struct 13.5 s warm). The
+    hash build side is the NARROW winners relation, bounded per
+    partition by winners/partitions; when the winner set is small
+    enough, AQE upgrades the exchange to a runtime broadcast (measured
+    8.6 s) — set spark.sql.adaptive.autoBroadcastJoinThreshold to taste.
+
+    Measured NEGATIVE at the full-pipeline level: inside apply_batch
+    (align → observe → exchange-by-bucket → parquet write) the two
+    strategies land at parity (11.1-11.6 s for the same 40M-event epoch,
+    interleaved same-session A/B, byte-identical final state) — the
+    isolated dedup win is absorbed by downstream stages. apply keeps the
+    simpler max-struct plan; this strategy remains for wide-row callers
+    whose pipeline IS the dedup.
     """
     key = key or KEY
     order = order or ORDER
@@ -114,7 +131,9 @@ def lww_dedup_join(
         expr.alias(name) for name, expr in (extra_aggs or {}).items()
     ]
     wins = packed.groupBy(*key).agg(*aggs)
-    joined = packed.join(wins, key, "inner").where(F.col("_ord") == F.col("_win"))
+    joined = packed.join(wins.hint("shuffle_hash"), key, "inner").where(
+        F.col("_ord") == F.col("_win")
+    )
     # verbatim duplicates: bit-identical rows — dedup on ALL columns, which
     # is a pure-grouping HashAggregate (a subset-dropDuplicates would add
     # First() buffers over strings and fall back to SortAggregate)
