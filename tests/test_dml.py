@@ -108,3 +108,29 @@ def test_dml_beats_everything_already_applied(spark, loaded):
     update_where(eng.table, {"text": "'wiped'"}, pred, request_id=1)
     after = eng.table.snapshot_df().where(pred)
     assert after.where(F.col("text") != "wiped").count() == 0
+
+
+def test_dml_flows_through_change_feed(spark, loaded):
+    """A DML commit is an ordinary delta commit: downstream incremental
+    consumers see it as update_postimage/delete rows in the change feed
+    (and replication therefore carries DML to replicas for free)."""
+    eng = loaded
+    v0 = eng.table.version
+    pred = "role = 'assistant' AND turn_idx = 2"
+    n_upd = eng.table.snapshot_df().where(pred).count()
+    assert n_upd > 0
+    update_where(eng.table, {"tool": "'patched'"}, pred, request_id=1)
+    victim = eng.table.snapshot_df().select("conv_id").first()["conv_id"]
+    n_del = eng.table.snapshot_df().where(F.col("conv_id") == victim).count()
+    delete_where(eng.table, f"conv_id = '{victim}'", request_id=2)
+
+    feed = eng.table.changes_between(v0).groupBy("_change_type").count()
+    got = {r["_change_type"]: r["count"] for r in feed.collect()}
+    # the updated rows of the deleted conversation show as deletes, not
+    # updates (the feed diffs END states, not intermediate commits)
+    overlap = eng.table.as_of(v0).snapshot_df().where(pred).where(
+        F.col("conv_id") == victim
+    ).count()
+    assert got.get("update_postimage", 0) == n_upd - overlap
+    assert got.get("delete", 0) == n_del
+    assert "insert" not in got
