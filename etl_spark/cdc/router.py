@@ -1,0 +1,115 @@
+"""Multi-table routing: one change stream fanned into per-value tables.
+
+Reference analogue: the load layer's one-table-per-event-type shape —
+`/root/reference/etl/dags/user_history/user_history/dag.py:41-48` loops
+over `all_event_names` and lands each event's rows in its own
+`_raw.<event>` table (`load/modules/mod_data_insert.sql:2-7`), while the
+spine table keeps every event. Here the spine is the main transcripts
+table (routed value kept in the payload) and the router materializes the
+per-value tables from the same change stream.
+
+Routing a CDC stream is harder than routing an append-only event stream:
+the route value can CHANGE for a live key (the row "moves" between
+tables) and a delete event may carry no payload at all (NULL route
+value). Two modes:
+
+  * default (mutable route column, fully general): every destination
+    table sees the WHOLE batch, with ``op`` rewritten to ``'D'`` for
+    rows routed elsewhere — a move lands the new image in its new table
+    and an LWW-ordered tombstone in every other, and a NULL-payload
+    delete tombstones everywhere. Exact: the union of routed snapshots
+    always equals the spine. Cost: O(batch × fan-out) delta rows, most
+    of them tombstones that expunge+compact reclaim — the price of
+    never reading destination tables at apply time (apply stays
+    O(batch), the engine's core invariant).
+  * ``stable_routes=True`` (immutable route column — the reference's
+    event-name case): each table sees only its matching rows, plus
+    NULL-valued deletes fanned to every table (a tombstone for a key a
+    table never held is exactly the delete-of-absent fence apply
+    already implements). O(batch) total, no cross-table tombstones —
+    but WRONG if the route value ever mutates for a live key.
+
+Semantics shared by both modes:
+  * each destination table is applied with the SAME (source, epoch)
+    fencing as any CDC apply — exactly-once PER TABLE; a crash between
+    table applies resumes by re-running the epoch, where already-applied
+    tables fence themselves into no-ops;
+  * there is deliberately NO cross-table atomicity (same as the
+    reference, whose per-event INSERTs are separate BigQuery jobs): a
+    reader joining two routed tables mid-replay can observe one at epoch
+    k and the other at k-1 — the lineage/committed_epoch surface makes
+    that visible.
+
+Scale shape: one filtered apply per destination; the route predicate
+pushes to the parquet scan of the change batch (row-group skipping).
+For very wide fan-out (hundreds of event types) localCheckpoint the
+batch once before the loop — a knob, not a default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .apply import ApplyStats, apply_batch
+from ..lake.table import LakeTable
+
+
+def _routed_view(
+    changes: DataFrame, route_col: str, match: "F.Column", stable: bool
+) -> DataFrame:
+    if stable:
+        # matching rows + NULL-payload deletes (routable nowhere, fanned
+        # everywhere: delete-of-absent is fenced by apply)
+        return changes.where(
+            match | ((F.col("op") == "D") & F.col(route_col).isNull())
+        )
+    # general: non-matching rows become tombstones AT THE SAME LWW order,
+    # so a move's old-table delete and new-table image can never interleave
+    # wrongly with other changes to the key
+    return changes.withColumn(
+        "op", F.when(match, F.col("op")).otherwise(F.lit("D"))
+    )
+
+
+def route_batch(
+    tables: dict[str, LakeTable],
+    changes: DataFrame,
+    epoch: int,
+    route_col: str = "role",
+    source: str = "router",
+    rest: LakeTable | None = None,
+    stable_routes: bool = False,
+) -> dict[str, ApplyStats]:
+    """Apply one micro-batch to every destination table (see module doc
+    for the two routing modes). Returns per-destination ApplyStats
+    (skipped=True where the epoch was already fenced)."""
+    stats: dict[str, ApplyStats] = {}
+    known = list(tables)
+    for val, table in sorted(tables.items()):
+        match = F.col(route_col) == F.lit(val)
+        stats[val] = apply_batch(
+            table, _routed_view(changes, route_col, match, stable_routes),
+            epoch, source=source,
+        )
+    if rest is not None:
+        # rest owns unknown AND NULL route values (a NULL on a non-delete
+        # is still data — it must land somewhere)
+        match = F.coalesce(
+            ~F.col(route_col).isin(known), F.lit(True)
+        )
+        stats["__rest__"] = apply_batch(
+            rest, _routed_view(changes, route_col, match, stable_routes),
+            epoch, source=source,
+        )
+    return stats
+
+
+def discover_route_values(changes: DataFrame, route_col: str = "role") -> list[str]:
+    """Distinct non-null route values of a batch (driver-side, bounded by
+    the route-value cardinality — event-type-like, not key-like)."""
+    return sorted(
+        r[route_col]
+        for r in changes.select(route_col).distinct().collect()
+        if r[route_col] is not None
+    )

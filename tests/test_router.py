@@ -1,0 +1,127 @@
+"""Multi-table routing: one change stream fanned into per-value tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.cdc.engine import CdcEngine
+from etl_spark.cdc.router import discover_route_values, route_batch
+from etl_spark.datagen import gen_changes
+
+
+@pytest.fixture()
+def fanout(spark, tmp_path):
+    changes = gen_changes(spark, 6_000, n_convs=60, n_epochs=2)
+    spine = CdcEngine(spark, str(tmp_path / "spine"), num_buckets=4)
+    vals = discover_route_values(changes, "role")
+    dests = {
+        v: CdcEngine(spark, str(tmp_path / f"by_role_{v}"), num_buckets=4).table
+        for v in vals
+    }
+    return changes, spine, dests, vals
+
+
+def test_route_union_equals_spine(spark, fanout):
+    changes, spine, dests, vals = fanout
+    for ep in (0, 1):
+        batch = changes.where(F.col("epoch") == ep).drop("epoch")
+        from etl_spark.cdc.apply import apply_batch
+
+        apply_batch(spine.table, batch, ep)
+        stats = route_batch(dests, batch, ep, route_col="role")
+        assert all(not s.skipped for s in stats.values())
+
+    spine_df = spine.table.snapshot_df()
+    union = None
+    for v, t in dests.items():
+        df = t.snapshot_df()
+        # every routed table holds only its value
+        assert df.where(F.col("role") != v).count() == 0
+        union = df if union is None else union.unionByName(df)
+    assert union.count() == spine_df.count()
+    assert union.exceptAll(spine_df).count() == 0
+    assert spine_df.exceptAll(union).count() == 0
+
+
+def test_route_epoch_fencing_per_table(spark, fanout):
+    changes, _, dests, vals = fanout
+    batch = changes.where(F.col("epoch") == 0).drop("epoch")
+    route_batch(dests, batch, 0, route_col="role")
+    # crash-and-resume: the whole epoch re-runs; every table self-fences
+    stats = route_batch(dests, batch, 0, route_col="role")
+    assert all(s.skipped for s in stats.values())
+    # partial failure: one table missed the epoch (simulated by a fresh
+    # table) — re-running applies ONLY to it
+    fresh = CdcEngine(
+        spark, dests[vals[0]].path + "_retry", num_buckets=4
+    ).table
+    dests2 = dict(dests)
+    dests2[vals[0]] = fresh
+    stats = route_batch(dests2, batch, 0, route_col="role")
+    assert not stats[vals[0]].skipped
+    assert all(s.skipped for v, s in stats.items() if v != vals[0])
+
+
+def test_route_rest_catches_unknown_values(spark, tmp_path):
+    changes = gen_changes(spark, 2_000, n_convs=20, n_epochs=1).drop("epoch")
+    vals = discover_route_values(changes, "role")
+    known = vals[:-1]
+    dests = {
+        v: CdcEngine(spark, str(tmp_path / f"d_{v}"), num_buckets=4).table
+        for v in known
+    }
+    rest = CdcEngine(spark, str(tmp_path / "rest"), num_buckets=4).table
+    route_batch(dests, changes, 0, route_col="role", rest=rest)
+    got_rest = rest.snapshot_df()
+    assert got_rest.count() > 0
+    assert got_rest.where(F.col("role").isin(known)).count() == 0
+
+
+def test_stable_routes_mode(spark, tmp_path):
+    """With an immutable route column (reference's event-name case) the
+    cheap mode routes only matching rows + NULL-payload deletes, and the
+    union still reconstructs the spine."""
+    changes = gen_changes(spark, 4_000, n_convs=40, n_epochs=1).drop("epoch")
+    # stable by construction: a hash of the KEY, never of mutable payload
+    changes = changes.withColumn(
+        "shard", F.concat(F.lit("s"), (F.abs(F.xxhash64("conv_id")) % 2).cast("string"))
+    )
+    from etl_spark.cdc.apply import apply_batch
+
+    spine = CdcEngine(spark, str(tmp_path / "spine"), num_buckets=4)
+    apply_batch(spine.table, changes, 0)
+    dests = {
+        v: CdcEngine(spark, str(tmp_path / f"sh_{v}"), num_buckets=4).table
+        for v in ("s0", "s1")
+    }
+    route_batch(dests, changes, 0, route_col="shard", stable_routes=True)
+    union = dests["s0"].snapshot_df().unionByName(dests["s1"].snapshot_df())
+    spine_df = spine.table.snapshot_df()
+    assert union.count() == spine_df.count()
+    assert union.exceptAll(spine_df).count() == 0
+
+
+def test_general_mode_handles_moves(spark, tmp_path):
+    """A key whose route value changes lands in the new table and is
+    tombstoned out of the old one."""
+    import datetime as dt
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    rows = [
+        ("c1", 0, "tool", "v1", None, T("2025-01-01 00:00:00"), "I",
+         T("2025-01-01 00:00:01"), 1),
+        ("c1", 0, "assistant", "v2", None, T("2025-01-01 00:00:00"), "U",
+         T("2025-01-01 00:00:02"), 2),
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp, op string, op_ts timestamp, lsn long")
+    dests = {
+        v: CdcEngine(spark, str(tmp_path / f"r_{v}"), num_buckets=2).table
+        for v in ("tool", "assistant")
+    }
+    # epoch 0: only the tool-row; epoch 1: the move
+    route_batch(dests, spark.createDataFrame(rows[:1], schema), 0, route_col="role")
+    assert dests["tool"].snapshot_df().count() == 1
+    route_batch(dests, spark.createDataFrame(rows[1:], schema), 1, route_col="role")
+    assert dests["tool"].snapshot_df().count() == 0
+    got = dests["assistant"].snapshot_df().collect()
+    assert len(got) == 1 and got[0]["text"] == "v2"
