@@ -65,6 +65,7 @@ class ApplyStats:
     op_ts_max: str | None = None
     late_rows: int = 0
     max_lag_s: float | None = None
+    ingest_lag_s: float | None = None
     watermark: str | None = None
     gate: dict | None = None
     wall_s: float = 0.0
@@ -169,7 +170,16 @@ def apply_batch(
     stats.op_ts_max = str(m["op_ts_max"]) if m["op_ts_max"] is not None else None
     stats.late_rows = int(m["late_rows"] or 0)
     if m["op_ts_max"] is not None and m["op_ts_min"] is not None:
+        # intra-batch event-time spread (how out-of-order the batch was)
         stats.max_lag_s = round((m["op_ts_max"] - m["op_ts_min"]).total_seconds(), 3)
+        # ingest lag: wall clock at commit minus the newest applied change
+        # (how far behind the stream head this table runs — THE freshness
+        # metric an operator alerts on; session tz is pinned UTC so the
+        # naive op_ts is UTC by construction)
+        from datetime import timezone
+
+        head = m["op_ts_max"].replace(tzinfo=timezone.utc).timestamp()
+        stats.ingest_lag_s = round(time.time() - head, 3)
     if gate is not None:
         from ..quality import GateFailure
 

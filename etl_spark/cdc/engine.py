@@ -129,6 +129,7 @@ class CdcEngine:
                 "op_ts_max": stats.op_ts_max,
                 "late_rows": stats.late_rows,
                 "max_lag_s": stats.max_lag_s,
+                "ingest_lag_s": stats.ingest_lag_s,
                 "watermark": stats.watermark,
                 "winners": stats.winners,
                 "dirty_buckets": stats.dirty_buckets,

@@ -197,3 +197,9 @@ def test_lineage_recorded(spark, change_log, tmp_path):
     # flag some (flagged in lineage, never dropped from the merge)
     assert sum(r["late_rows"] for r in rows[1:]) > 0
     assert all(r["max_lag_s"] is not None and r["max_lag_s"] >= 0 for r in rows)
+    # ingest lag: the generator's op_ts are historical, so the table runs
+    # far behind "now" — positive, and non-increasing epoch over epoch
+    # (later epochs carry newer op_ts against a nearly constant wall clock)
+    lags = [r["ingest_lag_s"] for r in rows]
+    assert all(l is not None and l > 0 for l in lags)
+    assert lags == sorted(lags, reverse=True)
