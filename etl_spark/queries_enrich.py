@@ -134,3 +134,50 @@ def d_date_spine_ffill(spark, sf_dir):
         F.round(F.last("rate", ignorenulls=True).over(w), 2).alias("rate_ffill"),
         F.col("rate").isNull().alias("is_filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# J — AS-OF (point-in-time) join: each event enriched with the customer's
+# latest order at or before the event time (operators/temporal.py; DuckDB's
+# native ASOF LEFT JOIN is the oracle)
+
+
+@register(
+    "j_asof_join",
+    """
+    WITH b0 AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS bts,
+             o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ), b AS (
+      SELECT user_id, bts, o_orderkey, o_totalprice FROM b0 WHERE rn = 1
+    )
+    SELECT p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           p.event_id,
+           b.o_orderkey AS last_orderkey,
+           b.o_totalprice AS last_totalprice
+    FROM (SELECT user_id, ts, event_id FROM events) p
+    ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.bts
+    """,
+)
+def j_asof_join(spark, sf_dir):
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("odate"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+    out = asof_join(
+        ev, orders, key=["user_id"], probe_ts="ts", build_ts="odate",
+        dedup_order=["last_orderkey"],
+    )
+    return out.select(
+        "user_id", _us("ts").alias("ts_us"), "event_id",
+        "last_orderkey", "last_totalprice",
+    )
