@@ -96,7 +96,7 @@ def main() -> int:
             "epochs": len(results),
             "events_per_s": round(n_events / replay_s, 1),
             "final_rows": int(eng.table.snapshot_df().count()),
-            "timing": "min-of-2 (see BASELINE.md host-steal note)",
+            "timing": "min-of-3 (see BASELINE.md host-steal note)",
         }
 
         # -- 2. operator-coverage query suite (min-of-2 each) -------------
