@@ -47,7 +47,18 @@ def bucket_pairs(
     max_bucket*(max_bucket-1)/2 pairs per bucket, generated without a
     self-join. Net: ONE full shuffle of the narrow (id, keys) stream,
     versus window-count + self-join's three.
+
+    The input is persisted (MEMORY_AND_DISK) before branching: the count
+    and collect_list branches would otherwise each recompute the parent
+    plan, and for every caller that parent is the EXPENSIVE stage
+    (minhash over shingle sets / hyperplane projections) feeding a
+    narrow stream — the classic cache-the-cheap-to-hold,
+    expensive-to-recompute shape. persist (not localCheckpoint) keeps
+    lineage, so executor loss on a real cluster recomputes instead of
+    failing; blocks age out via Spark's LRU. Measured at sf0.1:
+    embedding near-dup 7.3 s → 6.1-7.0 s; parity on minhash (warm).
     """
+    df = df.persist()  # default MEMORY_AND_DISK(_DESER) in Spark 3+
     keys = [F.col(c) for c in key_cols]
     hot = (
         df.groupBy(*keys)
