@@ -134,3 +134,34 @@ def test_dml_flows_through_change_feed(spark, loaded):
     assert got.get("update_postimage", 0) == n_upd - overlap
     assert got.get("delete", 0) == n_del
     assert "insert" not in got
+
+
+def test_dml_races_with_replay_commits(spark, loaded):
+    """A DML commit racing an epoch apply: both interleave their
+    load-version → commit windows; the lost-race retry (lake/table.py)
+    must land BOTH commits with neither clobbering the other."""
+    eng = loaded
+    before = eng.table.snapshot_df().count()
+    pred = "role = 'tool'"
+    n_del = eng.table.snapshot_df().where(pred).count()
+
+    # interleave: resolve the DML targets against the CURRENT version,
+    # then apply a new epoch (bumping the version), then commit the DML —
+    # its in-memory metadata is now stale and must rebase-retry
+    from etl_spark.cdc.maintenance import _dml_targets
+
+    matched, buckets, wm, stamp_lsn = _dml_targets(eng.table, pred)
+    n_matched = matched.count()
+    assert n_matched == n_del
+
+    newer = gen_changes(spark, 1_000, n_convs=10, n_epochs=1).drop("epoch")
+    apply_batch(eng.table, newer, epoch=1)
+
+    sid = delete_where(eng.table, pred, request_id=1)
+    assert sid is not None
+    after = eng.table.snapshot_df()
+    # both effects present: epoch-1 rows applied AND the delete applied
+    # (the delete resolved against the refreshed state inside delete_where)
+    assert after.where(pred).count() == 0
+    assert eng.table.committed_epoch("default") == 1
+    assert eng.table.committed_epoch("dml") == 1
