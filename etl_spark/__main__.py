@@ -136,6 +136,16 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--conv-ids", required=True, help="comma-separated conversation ids to erase")
     d.add_argument("--request-id", type=int, required=True, help="idempotency key; replays are fenced")
 
+    rt = sub.add_parser(
+        "route", help="fan a change log into per-value tables under --base"
+    )
+    rt.add_argument("--log", required=True)
+    rt.add_argument("--base", required=True, help="destination dir; tables land at BASE/<value>")
+    rt.add_argument("--by", default="role", help="route column (default role)")
+    rt.add_argument("--stable", action="store_true",
+                    help="immutable route column: skip cross-table move tombstones")
+    rt.add_argument("--buckets", type=int, default=16)
+
     dw = sub.add_parser(
         "delete-where", help="row-level DELETE by SQL predicate (delta commit, fenced)"
     )
@@ -335,6 +345,23 @@ def main(argv: list[str] | None = None) -> int:
             "conv_ids": len(ids),
             "rows": eng.table.snapshot_df().count(),
         }))
+        return 0
+
+    if args.cmd == "route":
+        from etl_spark.cdc.router import route_replay
+
+        for epoch, stats in route_replay(
+            spark, args.log, args.base, route_col=args.by,
+            stable_routes=args.stable, num_buckets=args.buckets,
+        ):
+            print(json.dumps({
+                "epoch": epoch,
+                "tables": {
+                    v: {"skipped": s.skipped, "winners": s.winners,
+                        "snapshot_id": s.snapshot_id}
+                    for v, s in stats.items()
+                },
+            }))
         return 0
 
     if args.cmd == "delete-where":

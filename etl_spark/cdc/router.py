@@ -113,3 +113,36 @@ def discover_route_values(changes: DataFrame, route_col: str = "role") -> list[s
         for r in changes.select(route_col).distinct().collect()
         if r[route_col] is not None
     )
+
+
+def route_replay(
+    spark,
+    change_log_dir: str,
+    base_path: str,
+    route_col: str = "role",
+    stable_routes: bool = False,
+    num_buckets: int = 16,
+):
+    """Replay a change log, fanning each epoch into per-value tables
+    under ``base_path/<value>`` (created on first sight of a value; the
+    destination set can grow mid-log). Yields (epoch, {value: ApplyStats}).
+
+    Resumable like any replay: per-table epoch fencing turns re-run
+    epochs into no-ops, so a crash anywhere converges on re-run.
+    """
+    import os
+
+    from .engine import CdcEngine
+
+    tables: dict[str, LakeTable] = {}
+    for epoch, path in CdcEngine.list_epochs(change_log_dir):
+        changes = spark.read.parquet(path)
+        for val in discover_route_values(changes, route_col):
+            if val not in tables:
+                tables[val] = CdcEngine(
+                    spark, os.path.join(base_path, val), num_buckets=num_buckets
+                ).table
+        yield epoch, route_batch(
+            tables, changes, epoch, route_col=route_col,
+            stable_routes=stable_routes,
+        )

@@ -125,3 +125,32 @@ def test_general_mode_handles_moves(spark, tmp_path):
     assert dests["tool"].snapshot_df().count() == 0
     got = dests["assistant"].snapshot_df().collect()
     assert len(got) == 1 and got[0]["text"] == "v2"
+
+
+def test_route_replay_end_to_end(spark, tmp_path):
+    """route_replay discovers values, creates tables lazily, fences
+    re-runs, and its union reconstructs a plain replay of the same log."""
+    import os
+
+    from etl_spark.cdc.router import route_replay
+    from etl_spark.datagen import write_change_log
+
+    log = str(tmp_path / "log")
+    write_change_log(spark, log, 4_000, n_convs=40, n_epochs=2)
+    spine = CdcEngine(spark, str(tmp_path / "spine"), num_buckets=4)
+    spine.replay(log)
+
+    base = str(tmp_path / "routed")
+    list(route_replay(spark, log, base, route_col="role", num_buckets=4))
+    rerun = list(route_replay(spark, log, base, route_col="role", num_buckets=4))
+    assert all(s.skipped for _, stats in rerun for s in stats.values())
+
+    from etl_spark.lake.table import LakeTable
+
+    union = None
+    for v in sorted(os.listdir(base)):
+        df = LakeTable(spark, os.path.join(base, v)).snapshot_df()
+        union = df if union is None else union.unionByName(df)
+    spine_df = spine.table.snapshot_df()
+    assert union.count() == spine_df.count()
+    assert union.exceptAll(spine_df).count() == 0
