@@ -97,3 +97,40 @@ def ingest_pandas(
     through the same exactly-once apply path."""
     df = spark.createDataFrame(pdf)
     return apply_batch(table, _as_changes(df, op_ts_col, lsn_col), epoch, source=source)
+
+
+def bootstrap_snapshot(
+    table: LakeTable,
+    snapshot: DataFrame,
+    snapshot_lsn: int,
+    snapshot_op_ts: str,
+    source: str = "bootstrap",
+) -> ApplyStats:
+    """Bootstrap a table from a FULL SNAPSHOT of the source system, then
+    hand off to the change stream without gaps or duplicates — the
+    standard CDC cold-start (Debezium's initial-snapshot phase).
+
+    The snapshot rows are applied as inserts stamped at
+    ``(snapshot_op_ts, snapshot_lsn)`` — the source's consistent-read
+    point (e.g. the binlog position the snapshot transaction saw). The
+    LWW fold then makes the handoff seam-free in BOTH directions:
+
+      * stream replay may safely START BEFORE the snapshot point
+        (overlap): changes at or below ``(snapshot_op_ts, snapshot_lsn)``
+        lose to the snapshot rows — no duplicates, no regressions;
+      * changes after the snapshot point win — no gaps, provided the
+        stream is resumed from no later than the snapshot position
+        (the operator's contract, same as any CDC system).
+
+    Exactly-once per (source, epoch=0): re-running a crashed bootstrap
+    is fenced. O(snapshot) — one pass through the ordinary apply.
+    """
+    from pyspark.sql import functions as F
+
+    changes = snapshot.select(
+        "*",
+        F.lit("I").alias("op"),
+        F.to_timestamp(F.lit(snapshot_op_ts)).alias("op_ts"),
+        F.lit(int(snapshot_lsn)).cast("long").alias("lsn"),
+    )
+    return apply_batch(table, changes, epoch=0, source=source)

@@ -137,3 +137,54 @@ def test_vacuum_reclaims_unreferenced_files(spark, loaded):
     after = eng.table.snapshot_df().toPandas()
     from tests.conftest import assert_pdf_equal
     assert_pdf_equal(before, after, ["conv_id", "turn_idx"])
+
+
+def test_bootstrap_snapshot_handoff(spark, tmp_path):
+    """Snapshot bootstrap + overlapping stream replay converge to exactly
+    the stream's argmax state: overlap deduped, post-snapshot wins."""
+    from etl_spark.sources import bootstrap_snapshot
+
+    # the "source system": a change log; its state at the snapshot point
+    changes = gen_changes(spark, 4_000, n_convs=40, n_epochs=2)
+    cut_ts = changes.selectExpr(
+        "to_timestamp(percentile(unix_micros(op_ts), 0.6) / 1e6)"
+    ).first()[0]
+    pre = changes.where(F.col("op_ts") <= cut_ts)
+    snap_lsn = pre.agg(F.max("lsn")).first()[0]
+    # consistent snapshot = argmax state of everything at/below the cut
+    from etl_spark.cdc.dedup import lww_dedup
+
+    snap_state = (
+        lww_dedup(pre.drop("epoch"), key=["conv_id", "turn_idx"])
+        .where(F.col("op") != "D")
+        .drop("op", "op_ts", "lsn")
+    )
+
+    boot = CdcEngine(spark, str(tmp_path / "boot"), num_buckets=4)
+    st = bootstrap_snapshot(
+        boot.table, snap_state, snapshot_lsn=int(snap_lsn),
+        snapshot_op_ts=str(cut_ts),
+    )
+    assert not st.skipped
+    # re-run is fenced
+    assert bootstrap_snapshot(
+        boot.table, snap_state, int(snap_lsn), str(cut_ts)
+    ).skipped
+
+    # hand off: replay the FULL stream (overlapping the snapshot) into
+    # the bootstrapped table, as later epochs
+    for ep in (0, 1):
+        apply_batch(
+            boot.table, changes.where(F.col("epoch") == ep).drop("epoch"),
+            epoch=ep, source="stream",
+        )
+    # oracle: a plain full replay from empty
+    plain = CdcEngine(spark, str(tmp_path / "plain"), num_buckets=4)
+    for ep in (0, 1):
+        apply_batch(
+            plain.table, changes.where(F.col("epoch") == ep).drop("epoch"),
+            epoch=ep,
+        )
+    a, b = boot.table.snapshot_df(), plain.table.snapshot_df()
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
