@@ -136,6 +136,15 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--conv-ids", required=True, help="comma-separated conversation ids to erase")
     d.add_argument("--request-id", type=int, required=True, help="idempotency key; replays are fenced")
 
+    ex = sub.add_parser(
+        "export", help="materialize the snapshot, globally ordered by key"
+    )
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    ex.add_argument("--no-sort", action="store_true",
+                    help="skip the range shuffle; bucket-layout order")
+
     rt = sub.add_parser(
         "route", help="fan a change log into per-value tables under --base"
     )
@@ -345,6 +354,15 @@ def main(argv: list[str] | None = None) -> int:
             "conv_ids": len(ids),
             "rows": eng.table.snapshot_df().count(),
         }))
+        return 0
+
+    if args.cmd == "export":
+        from etl_spark.export import export_snapshot
+
+        eng = CdcEngine(spark, args.table)
+        print(json.dumps(export_snapshot(
+            eng.table, args.out, fmt=args.format, ordered=not args.no_sort,
+        )))
         return 0
 
     if args.cmd == "route":

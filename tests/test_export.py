@@ -1,0 +1,47 @@
+"""Ordered snapshot export (etl_spark/export.py)."""
+
+import glob
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from etl_spark.cdc.apply import apply_batch
+from etl_spark.cdc.engine import CdcEngine
+from etl_spark.datagen import gen_changes
+from etl_spark.export import export_snapshot
+
+
+def test_export_globally_ordered(spark, tmp_path):
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    changes = gen_changes(spark, 4_000, n_convs=40, n_epochs=1).drop("epoch")
+    apply_batch(eng.table, changes, epoch=0)
+    out = str(tmp_path / "out")
+    res = export_snapshot(eng.table, out, fmt="parquet")
+    assert res["rows"] == eng.table.snapshot_df().count()
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    df = pd.concat(
+        [spark.read.parquet(f).toPandas() for f in files], ignore_index=True
+    )
+    want = df.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    # name-order concatenation IS the stable (conv_id, turn_idx) order
+    assert df[["conv_id", "turn_idx"]].equals(want[["conv_id", "turn_idx"]])
+    # and content equals the logical snapshot
+    snap = eng.table.snapshot_df().toPandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(
+        want[sorted(want.columns)], snap[sorted(snap.columns)]
+    )
+
+
+def test_export_time_pruned_csv(spark, tmp_path):
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    changes = gen_changes(spark, 2_000, n_convs=20, n_epochs=1).drop("epoch")
+    apply_batch(eng.table, changes, epoch=0)
+    lo, hi = eng.table.snapshot_df().agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    out = str(tmp_path / "csv")
+    res = export_snapshot(eng.table, out, fmt="csv", ts_max=str(mid))
+    want = eng.table.snapshot_df(ts_max=str(mid)).count()
+    assert res["rows"] == want > 0
