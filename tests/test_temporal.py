@@ -59,3 +59,31 @@ def test_asof_rejects_ambiguous_columns(spark, frames):
     bad = build.withColumnRenamed("bid", "eid")
     with pytest.raises(ValueError):
         asof_join(probe, bad, ["k"], "ts", "bts")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_matches_bruteforce(spark, seed):
+    """Random small instances vs a per-row brute-force reference."""
+    import random
+
+    rng = random.Random(seed)
+    keys = ["a", "b", "c"]
+    probe_rows = [
+        (rng.choice(keys), T("2025-01-01 00:00:00") + dt.timedelta(minutes=rng.randrange(0, 120)), i)
+        for i in range(40)
+    ]
+    build_rows = [
+        (rng.choice(keys), T("2025-01-01 00:00:00") + dt.timedelta(minutes=m), 100 + m, f"v{m}")
+        for m in rng.sample(range(0, 120), 25)  # unique ts per key not guaranteed across keys — fine
+    ]
+    probe = spark.createDataFrame(probe_rows, "k string, ts timestamp, eid int")
+    build = spark.createDataFrame(build_rows, "k string, bts timestamp, bid int, tag string")
+    got = {
+        r["eid"]: (r["bid"], r["tag"])
+        for r in asof_join(probe, build, ["k"], "ts", "bts").collect()
+    }
+    for k, ts, eid in probe_rows:
+        cands = [(bts, bid, tag) for bk, bts, bid, tag in build_rows
+                 if bk == k and bts <= ts]
+        want = (None, None) if not cands else max(cands)[1:]
+        assert got[eid] == want, (eid, got[eid], want)
