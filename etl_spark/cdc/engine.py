@@ -62,6 +62,7 @@ class CdcEngine:
         table_path: str,
         num_buckets: int = 16,
         compact_threshold: int = 8,
+        write_width: int = 1,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -71,6 +72,7 @@ class CdcEngine:
             self.table = LakeTable.create(
                 spark, table_path, TRANSCRIPT_SCHEMA, bucket_key="conv_id",
                 num_buckets=num_buckets, compact_threshold=compact_threshold,
+                write_width=write_width,
             )
         self.lineage = LineageLog(os.path.join(table_path, "_lineage", "lineage.jsonl"))
 

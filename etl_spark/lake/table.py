@@ -114,6 +114,7 @@ class LakeTable:
         compact_threshold: int = 8,
         if_not_exists: bool = False,
         stats_col: str | None = "ts",
+        write_width: int = 1,
     ) -> "LakeTable":
         meta_dir = os.path.join(path, META_DIR)
         if os.path.exists(os.path.join(meta_dir, HINT)):
@@ -133,6 +134,7 @@ class LakeTable:
                 "key_cols": key_cols or ["conv_id", "turn_idx"],
                 "compact_threshold": compact_threshold,
                 "stats_col": stats_col,
+                "write_width": int(write_width),
             },
             "schemas": {"0": ts.to_json()},
             "current_schema_version": 0,
@@ -204,6 +206,16 @@ class LakeTable:
     @property
     def compact_threshold(self) -> int:
         return int(self._meta["partition"].get("compact_threshold", 8))
+
+    @property
+    def write_width(self) -> int:
+        """Writer tasks PER BUCKET (default 1). Bucket count is a data-
+        layout choice (read amplification, metadata size); write_width
+        decouples write parallelism from it: a 1000-executor cluster
+        ingesting into 64 buckets sets width so buckets*width ~ cores,
+        and each (bucket, day) leaf gets at most `width` part files per
+        write instead of one unbounded file from one unbounded task."""
+        return int(self._meta["partition"].get("write_width", 1))
 
     @property
     def stats_col(self) -> str | None:
@@ -697,7 +709,17 @@ class LakeTable:
         if self.stats_col is not None:
             df = df.withColumn("_day", F.to_date(F.col(self.stats_col)).cast("string"))
             part_cols.append("_day")
-        df = df.repartition(self.num_buckets, F.col("_bucket"))
+        width = self.write_width
+        if width > 1:
+            # fan each bucket over `width` writer tasks; the split key is
+            # the bucket KEY's hash (stable, even spread of conversations)
+            # so all rows of one conversation still land in one file per
+            # write. partitionBy directories are unaffected — tasks
+            # sharing a leaf each write their own part file.
+            split = F.pmod(F.xxhash64(F.col(self.bucket_key), F.lit(7)), F.lit(width))
+            df = df.repartition(self.num_buckets * width, F.col("_bucket"), split)
+        else:
+            df = df.repartition(self.num_buckets, F.col("_bucket"))
         if sort_cols:
             df = df.sortWithinPartitions(*part_cols, *sort_cols)
         (

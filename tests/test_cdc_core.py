@@ -203,3 +203,32 @@ def test_lineage_recorded(spark, change_log, tmp_path):
     lags = [r["ingest_lag_s"] for r in rows]
     assert all(l is not None and l > 0 for l in lags)
     assert lags == sorted(lags, reverse=True)
+
+
+def test_write_width_fans_buckets_across_files(spark, tmp_path):
+    """write_width > 1 splits each (bucket, day) leaf across multiple
+    part files (write parallelism decoupled from bucket count) with the
+    table state identical to width 1."""
+    import glob
+    import os
+
+    from etl_spark.cdc.apply import apply_batch
+
+    changes = gen_changes(spark, 4_000, n_convs=40, n_epochs=1).drop("epoch")
+    narrow = CdcEngine(spark, str(tmp_path / "w1"), num_buckets=2)
+    wide = CdcEngine(spark, str(tmp_path / "w4"), num_buckets=2, write_width=4)
+    apply_batch(narrow.table, changes, epoch=0)
+    apply_batch(wide.table, changes, epoch=0)
+
+    def max_files_per_leaf(path):
+        leaves = glob.glob(os.path.join(path, "data", "*", "_bucket=*", "_day=*"))
+        return max(
+            len([f for f in os.listdir(d) if f.endswith(".parquet")])
+            for d in leaves
+        )
+
+    assert max_files_per_leaf(str(tmp_path / "w1")) == 1
+    assert max_files_per_leaf(str(tmp_path / "w4")) > 1
+    a, b = narrow.table.snapshot_df(), wide.table.snapshot_df()
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
