@@ -37,6 +37,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--log", required=True)
     r.add_argument("--table", required=True)
     r.add_argument("--buckets", type=int, default=16)
+    r.add_argument("--write-width", type=int, default=1,
+                   help="writer tasks per bucket (table-creation time only)")
     r.add_argument("--stop-after", type=int, default=None)
     r.add_argument(
         "--gate",
@@ -136,6 +138,15 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--conv-ids", required=True, help="comma-separated conversation ids to erase")
     d.add_argument("--request-id", type=int, required=True, help="idempotency key; replays are fenced")
 
+    bs = sub.add_parser(
+        "bootstrap", help="cold-start a table from a full source snapshot (parquet dir)"
+    )
+    bs.add_argument("--table", required=True)
+    bs.add_argument("--snapshot", required=True, help="parquet dir of the source snapshot")
+    bs.add_argument("--lsn", type=int, required=True, help="snapshot consistent-read LSN")
+    bs.add_argument("--op-ts", required=True, help="snapshot consistent-read timestamp")
+    bs.add_argument("--buckets", type=int, default=16)
+
     ex = sub.add_parser(
         "export", help="materialize the snapshot, globally ordered by key"
     )
@@ -191,7 +202,8 @@ def main(argv: list[str] | None = None) -> int:
     from etl_spark.cdc.engine import CdcEngine
 
     if args.cmd == "replay":
-        eng = CdcEngine(spark, args.table, num_buckets=args.buckets)
+        eng = CdcEngine(spark, args.table, num_buckets=args.buckets,
+                        write_width=args.write_width)
         gate = None
         if args.gate == "default":
             from etl_spark.quality import default_transcript_gate
@@ -353,6 +365,20 @@ def main(argv: list[str] | None = None) -> int:
             "deleted": sid is not None, "snapshot_id": sid,
             "conv_ids": len(ids),
             "rows": eng.table.snapshot_df().count(),
+        }))
+        return 0
+
+    if args.cmd == "bootstrap":
+        from etl_spark.sources import bootstrap_snapshot
+
+        eng = CdcEngine(spark, args.table, num_buckets=args.buckets)
+        st = bootstrap_snapshot(
+            eng.table, spark.read.parquet(args.snapshot),
+            snapshot_lsn=args.lsn, snapshot_op_ts=args.op_ts,
+        )
+        print(json.dumps({
+            "bootstrapped": not st.skipped, "rows": st.rows_in,
+            "snapshot_id": st.snapshot_id,
         }))
         return 0
 
