@@ -55,6 +55,30 @@ CHANGE_SCHEMA = T.StructType(
 )
 
 
+def fencing_namespace(checkpoint_dir: str, source: str) -> str:
+    """Per-checkpoint fencing namespace: Structured Streaming batch ids
+    are only monotone WITHIN one checkpoint lineage, so the fencing
+    source is suffixed with an id stored in the checkpoint dir — a
+    fresh/deleted checkpoint restarts batch ids at 0 under a NEW
+    namespace (reprocessed, LWW-idempotent) instead of being fenced as
+    replays and silently dropped. Written tmp+fsync+rename; an empty
+    marker (crash mid-create) counts as absent."""
+    import uuid as _uuid
+
+    from ..lake.table import _atomic_write_text
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_etl_spark_lineage_id")
+    marker_id = ""
+    if os.path.exists(marker):
+        with open(marker) as f:
+            marker_id = f.read().strip()
+    if not marker_id:
+        marker_id = _uuid.uuid4().hex[:12]
+        _atomic_write_text(marker, marker_id)
+    return f"{source}@{marker_id}"
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -178,23 +202,7 @@ class CdcEngine:
         the LWW fold makes the reprocessing idempotent at the data level.
         Call ``.processAllAvailable()`` / ``awaitTermination`` on the result.
         """
-        import uuid as _uuid
-
-        from ..lake.table import _atomic_write_text
-
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        marker = os.path.join(checkpoint_dir, "_etl_spark_lineage_id")
-        # tmp+fsync+rename, and an empty marker (crash between create and
-        # write under a plain open) counts as absent — a truncated marker
-        # must never permanently fix the namespace to 'source@'
-        marker_id = ""
-        if os.path.exists(marker):
-            with open(marker) as f:
-                marker_id = f.read().strip()
-        if not marker_id:
-            marker_id = _uuid.uuid4().hex[:12]
-            _atomic_write_text(marker, marker_id)
-        source = f"{source}@{marker_id}"
+        source = fencing_namespace(checkpoint_dir, source)
 
         if wire_format == "debezium":
             from .envelope import parse_debezium

@@ -146,3 +146,57 @@ def route_replay(
             tables, changes, epoch, route_col=route_col,
             stable_routes=stable_routes,
         )
+
+
+def stream_route(
+    spark,
+    change_log_dir: str,
+    base_path: str,
+    checkpoint_dir: str,
+    route_col: str = "role",
+    stable_routes: bool = False,
+    num_buckets: int = 16,
+    max_files_per_trigger: int | None = 8,
+    schema=None,
+):
+    """Structured-Streaming fan-out: tail the change log and route every
+    micro-batch into per-value tables under ``base_path/<value>``
+    (created lazily as values appear mid-stream).
+
+    Exactly-once per table exactly like ``CdcEngine.stream``: the batch
+    id is the fencing epoch, namespaced per checkpoint lineage
+    (``fencing_namespace``) so a rebuilt checkpoint reprocesses under a
+    fresh source instead of being fenced away. Call
+    ``.processAllAvailable()`` / ``awaitTermination`` on the result.
+    """
+    from .engine import CHANGE_SCHEMA, CdcEngine, fencing_namespace
+
+    source = fencing_namespace(checkpoint_dir, "router")
+    tables: dict[str, LakeTable] = {}
+
+    reader = (
+        spark.readStream.schema(schema or CHANGE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream_df = reader.parquet(change_log_dir)
+
+    def _apply(batch_df, batch_id: int):
+        import os
+
+        for val in discover_route_values(batch_df, route_col):
+            if val not in tables:
+                tables[val] = CdcEngine(
+                    spark, os.path.join(base_path, val), num_buckets=num_buckets
+                ).table
+        route_batch(
+            tables, batch_df, int(batch_id), route_col=route_col,
+            source=source, stable_routes=stable_routes,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

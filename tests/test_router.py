@@ -154,3 +154,33 @@ def test_route_replay_end_to_end(spark, tmp_path):
     spine_df = spine.table.snapshot_df()
     assert union.count() == spine_df.count()
     assert union.exceptAll(spine_df).count() == 0
+
+
+def test_stream_route(spark, tmp_path):
+    """Streaming fan-out: tail a change log, route micro-batches into
+    per-value tables; union reconstructs a batch replay of the same log."""
+    from etl_spark.cdc.router import stream_route
+    from etl_spark.datagen import write_change_log
+    from etl_spark.lake.table import LakeTable
+    import os
+
+    log = str(tmp_path / "log")
+    write_change_log(spark, log, 3_000, n_convs=30, n_epochs=3)
+    q = stream_route(
+        spark, log, str(tmp_path / "routed"), str(tmp_path / "ckpt"),
+        route_col="role", num_buckets=4, max_files_per_trigger=4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spine = CdcEngine(spark, str(tmp_path / "spine"), num_buckets=4)
+    spine.replay(log)
+    union = None
+    for v in sorted(os.listdir(str(tmp_path / "routed"))):
+        df = LakeTable(spark, str(tmp_path / "routed" / v)).snapshot_df()
+        union = df if union is None else union.unionByName(df)
+    spine_df = spine.table.snapshot_df()
+    assert union.count() == spine_df.count()
+    assert union.exceptAll(spine_df).count() == 0
