@@ -45,3 +45,27 @@ def test_export_time_pruned_csv(spark, tmp_path):
     res = export_snapshot(eng.table, out, fmt="csv", ts_max=str(mid))
     want = eng.table.snapshot_df(ts_max=str(mid)).count()
     assert res["rows"] == want > 0
+
+
+def test_export_bootstrap_roundtrip(spark, tmp_path):
+    """Backup/restore: export the snapshot, bootstrap a fresh table from
+    it — logical states equal, and the restored table accepts newer CDC."""
+    from etl_spark.sources import bootstrap_snapshot
+
+    eng = CdcEngine(spark, str(tmp_path / "src"), num_buckets=4)
+    changes = gen_changes(spark, 3_000, n_convs=30, n_epochs=1).drop("epoch")
+    apply_batch(eng.table, changes, epoch=0)
+
+    out = str(tmp_path / "backup")
+    export_snapshot(eng.table, out, fmt="parquet")
+    wm = eng.table.watermark_any()
+    max_lsn = changes.agg(F.max("lsn")).first()[0]
+
+    restored = CdcEngine(spark, str(tmp_path / "restored"), num_buckets=4)
+    bootstrap_snapshot(
+        restored.table, spark.read.parquet(out),
+        snapshot_lsn=int(max_lsn), snapshot_op_ts=str(wm),
+    )
+    a, b = eng.table.snapshot_df(), restored.table.snapshot_df()
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
