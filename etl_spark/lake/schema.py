@@ -137,15 +137,94 @@ class TableSchema:
                 elif (t, cur.type) in _WIDEN_OK:
                     pass  # incoming is narrower — table type already covers it
                 else:
-                    raise ValueError(
-                        f"incompatible schema change for column {inc.name!r}: "
-                        f"table has {cur.type}, incoming has {t}"
-                    )
+                    w = widen_type(_parse_type(cur.type), inc.dataType)
+                    if w is None:
+                        raise ValueError(
+                            f"incompatible schema change for column {inc.name!r}: "
+                            f"table has {cur.type}, incoming has {t}"
+                        )
+                    wddl = w.simpleString()
+                    if wddl != cur.type:
+                        i = new_fields.index(cur)
+                        new_fields[i] = Field(cur.id, cur.name, wddl, cur.nullable)
+                        changes.append(
+                            f"widen {inc.name}: {cur.type} -> {wddl} (id={cur.id})"
+                        )
         return TableSchema(new_fields, next_id), changes
 
 
 def _parse_type(ddl: str) -> T.DataType:
     return T.StructType.fromDDL(f"`x` {ddl}")[0].dataType
+
+
+def _leaf_widen_ok(cur: T.DataType, inc: T.DataType) -> bool:
+    return (cur.simpleString(), inc.simpleString()) in _WIDEN_OK
+
+
+def widen_type(cur: T.DataType, inc: T.DataType) -> T.DataType | None:
+    """The narrowest type accepting both, or None if incompatible.
+
+    Structs widen FIELD-WISE (the reference's embedded-context reality:
+    SDK releases append fields inside ctx_* structs): matching inner
+    fields widen recursively, fields unique to either side are kept
+    (readers NULL-fill what a file lacks). Arrays widen element-wise.
+    Leaf types follow _WIDEN_OK.
+    """
+    if cur == inc:
+        return cur
+    if isinstance(cur, T.StructType) and isinstance(inc, T.StructType):
+        by_name = {f.name: f for f in inc.fields}
+        out, seen = [], set()
+        for f in cur.fields:
+            g = by_name.get(f.name)
+            if g is None:
+                out.append(f)
+            else:
+                w = widen_type(f.dataType, g.dataType)
+                if w is None:
+                    return None
+                out.append(T.StructField(f.name, w, True))
+            seen.add(f.name)
+        out.extend(
+            T.StructField(g.name, g.dataType, True)
+            for g in inc.fields if g.name not in seen
+        )
+        return T.StructType(out)
+    if isinstance(cur, T.ArrayType) and isinstance(inc, T.ArrayType):
+        w = widen_type(cur.elementType, inc.elementType)
+        return None if w is None else T.ArrayType(w, True)
+    if _leaf_widen_ok(cur, inc):
+        return inc
+    if _leaf_widen_ok(inc, cur):
+        return cur
+    return None
+
+
+def coerce_expr(col: "F.Column", src: T.DataType, dst: T.DataType) -> "F.Column":
+    """Read-side coercion of a written column to the current type.
+
+    Plain CAST cannot EXTEND a struct (Spark requires equal field
+    counts), so structs are rebuilt field-by-field — fields the file
+    lacks become NULL, matching fields coerce recursively — while a
+    NULL struct row stays NULL (a rebuilt struct of NULL fields is not
+    the same thing). Arrays of structs recurse through transform().
+    Everything else is an ordinary cast.
+    """
+    if src == dst:
+        return col
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        by_name = {f.name: f for f in src.fields}
+        parts = []
+        for f in dst.fields:
+            g = by_name.get(f.name)
+            if g is None:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                parts.append(coerce_expr(col[f.name], g.dataType, f.dataType).alias(f.name))
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(F.struct(*parts))
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return F.transform(col, lambda x: coerce_expr(x, src.elementType, dst.elementType))
+    return col.cast(dst)
 
 
 def project_written(
@@ -171,7 +250,11 @@ def project_written(
     for f in current.fields:
         w = written_by_id.get(f.id)
         if w is not None and w.name in have:
-            cols.append(F.col(w.name).cast(_parse_type(f.type)).alias(f.name))
+            cols.append(
+                coerce_expr(
+                    F.col(w.name), _parse_type(w.type), _parse_type(f.type)
+                ).alias(f.name)
+            )
         else:
             cols.append(F.lit(None).cast(_parse_type(f.type)).alias(f.name))
     for name in keep_extra or []:
@@ -188,11 +271,15 @@ def align(df: DataFrame, schema: TableSchema, keep_extra: list[str] | None = Non
     data files keep their written schema; alignment happens at scan time
     (Iceberg-style schema-on-read).
     """
-    have = {f.name for f in df.schema.fields}
+    have = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for f in schema.fields:
         if f.name in have:
-            cols.append(F.col(f.name).cast(_parse_type(f.type)).alias(f.name))
+            cols.append(
+                coerce_expr(
+                    F.col(f.name), have[f.name], _parse_type(f.type)
+                ).alias(f.name)
+            )
         else:
             cols.append(F.lit(None).cast(_parse_type(f.type)).alias(f.name))
     for name in keep_extra or []:

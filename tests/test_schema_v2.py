@@ -137,3 +137,60 @@ def test_time_travel_expired_version_raises(spark, tmp_path):
     t.vacuum(keep_meta_versions=2, min_age_seconds=0)
     with pytest.raises(FileNotFoundError, match="expired"):
         t.as_of(v0)
+
+
+def test_struct_field_addition_evolves(spark, tmp_path):
+    """Adding a field INSIDE an existing struct widens the column (the
+    reference's embedded-context reality: SDK releases append ctx_*
+    fields); rows written before the widening read back with NULL for
+    the new inner field, NULL structs stay NULL, and inner leaves widen."""
+    import datetime as dt
+
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.cdc.engine import CdcEngine
+
+    T_ = lambda s: dt.datetime.fromisoformat(s)
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=2)
+    base = ("conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp, params struct<paid:int, level:int>,"
+            " op string, op_ts timestamp, lsn long")
+    b0 = spark.createDataFrame(
+        [("c1", 0, "user", "a", None, T_("2025-01-01 00:00:00"),
+          {"paid": 1, "level": 3}, "I", T_("2025-01-01 00:00:01"), 1),
+         ("c2", 0, "user", "b", None, T_("2025-01-01 00:00:00"),
+          None, "I", T_("2025-01-01 00:00:02"), 2)],
+        base,
+    )
+    st = apply_batch(eng.table, b0, epoch=0)
+    assert any(c.startswith("add params") for c in st.schema_changes)
+
+    # epoch 1: params gains `vip` AND `paid` widens int -> bigint
+    wide = base.replace("struct<paid:int, level:int>",
+                        "struct<paid:bigint, level:int, vip:boolean>")
+    b1 = spark.createDataFrame(
+        [("c3", 0, "user", "c", None, T_("2025-01-02 00:00:00"),
+          {"paid": 2**40, "level": 4, "vip": True},
+          "I", T_("2025-01-02 00:00:01"), 3)],
+        wide,
+    )
+    st1 = apply_batch(eng.table, b1, epoch=1)
+    assert any(c.startswith("widen params") for c in st1.schema_changes)
+
+    rows = {r["conv_id"]: r["params"]
+            for r in eng.table.snapshot_df().collect()}
+    assert rows["c1"]["paid"] == 1 and rows["c1"]["vip"] is None
+    assert rows["c2"] is None            # NULL struct stays NULL
+    assert rows["c3"]["paid"] == 2**40 and rows["c3"]["vip"] is True
+
+    # incompatible inner change still refuses
+    import pytest as _pytest
+
+    bad = base.replace("struct<paid:int, level:int>",
+                       "struct<paid:string, level:int>")
+    b2 = spark.createDataFrame(
+        [("c4", 0, "user", "d", None, T_("2025-01-03 00:00:00"),
+          {"paid": "x", "level": 1}, "I", T_("2025-01-03 00:00:01"), 4)],
+        bad,
+    )
+    with _pytest.raises(ValueError):
+        apply_batch(eng.table, b2, epoch=2)
