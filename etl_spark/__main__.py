@@ -165,6 +165,10 @@ def main(argv: list[str] | None = None) -> int:
     rt.add_argument("--stable", action="store_true",
                     help="immutable route column: skip cross-table move tombstones")
     rt.add_argument("--buckets", type=int, default=16)
+    rt.add_argument("--rest", default="__rest__",
+                    help="table name for NULL/unknown route values (default __rest__)")
+    rt.add_argument("--no-rest", action="store_true",
+                    help="no rest table: fail loudly on NULL-route non-delete rows")
 
     dw = sub.add_parser(
         "delete-where", help="row-level DELETE by SQL predicate (delta commit, fenced)"
@@ -397,6 +401,7 @@ def main(argv: list[str] | None = None) -> int:
         for epoch, stats in route_replay(
             spark, args.log, args.base, route_col=args.by,
             stable_routes=args.stable, num_buckets=args.buckets,
+            rest_name=None if args.no_rest else args.rest,
         ):
             print(json.dumps({
                 "epoch": epoch,

@@ -45,9 +45,20 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+import os
+
 from ..lake.schema import align
 from ..lake.table import EpochFencedError, LakeTable
-from .dedup import ORDER, lww_dedup
+from .dedup import ORDER, lww_dedup, lww_dedup_narrow
+
+# Physical dedup strategy for the MERGE path (see dedup.py for the
+# trade-offs; env override is the A/B lever for scaling harnesses):
+#   agg        — single max-struct hash aggregation (wide buffer)
+#   narrow     — column-pruned winner agg + broadcast join-back (wide rows
+#                never shuffle by key); per-batch winner sets ≤ ~10^7 keys
+#   narrow-sh  — same with a shuffle_hash join-back (winner set too big to
+#                broadcast: the 10^10-scale epoch shape)
+DEDUP_STRATEGY = os.environ.get("ETL_SPARK_DEDUP_STRATEGY", "agg")
 
 
 @dataclass
@@ -83,6 +94,7 @@ def apply_batch(
     evolve: bool = True,
     compact: bool = True,
     gate=None,
+    dedup_strategy: str | None = None,
 ) -> ApplyStats:
     """Apply one micro-batch of changes. Idempotent per (source, epoch).
 
@@ -115,17 +127,24 @@ def apply_batch(
         if prev_wm
         else F.lit(0)
     )
-    winners = lww_dedup(
-        changes,
-        key=table.key_cols,
-        extra_aggs={
-            "_cnt": F.count(F.lit(1)),
-            "_lsn_min": F.min("lsn"),
-            "_lsn_max": F.max("lsn"),
-            "_op_ts_min": F.min("op_ts"),
-            "_late_cnt": F.sum(late),
-        },
-    ).withColumn("_bucket", table.bucket_expr(F.col(table.bucket_key)))
+    extra_aggs = {
+        "_cnt": F.count(F.lit(1)),
+        "_lsn_min": F.min("lsn"),
+        "_lsn_max": F.max("lsn"),
+        "_op_ts_min": F.min("op_ts"),
+        "_late_cnt": F.sum(late),
+    }
+    strategy = dedup_strategy or DEDUP_STRATEGY
+    if strategy.startswith("narrow"):
+        winners = lww_dedup_narrow(
+            changes, key=table.key_cols, extra_aggs=extra_aggs,
+            winners_join="shuffle_hash" if strategy == "narrow-sh" else "broadcast",
+        )
+    else:
+        winners = lww_dedup(changes, key=table.key_cols, extra_aggs=extra_aggs)
+    winners = winners.withColumn(
+        "_bucket", table.bucket_expr(F.col(table.bucket_key))
+    )
 
     # Lineage/commit stats ride the write job as an Observation — the whole
     # apply is ONE Spark job (scan → partial agg → exchange → final agg →
@@ -213,9 +232,21 @@ def apply_batch(
     # 4. bounded read amplification: compact buckets that crossed the
     #    delta-count threshold (separate maintenance commit, crash-safe)
     if compact:
-        need = table.buckets_needing_compaction()
-        if need:
-            table.compact(need)
-            stats.compacted_buckets = need
+        # best-effort: a concurrent applier's delta on the same bucket can
+        # conflict the maintenance commit AFTER our data commit already
+        # succeeded — that must not surface as an apply failure (the next
+        # apply re-triggers compaction anyway). One retry against fresh
+        # state covers the common single-race case.
+        from ..lake.table import CommitConflictError
+
+        for attempt in range(2):
+            try:
+                need = table.buckets_needing_compaction()
+                if need:
+                    table.compact(need)
+                    stats.compacted_buckets = need
+                break
+            except CommitConflictError:
+                table.refresh()
     stats.wall_s = time.time() - t0
     return stats

@@ -140,6 +140,75 @@ def lww_dedup_join(
     return joined.drop("_ord", "_win").dropDuplicates()
 
 
+def lww_dedup_narrow(
+    changes: DataFrame,
+    key: list[str] | None = None,
+    order: list[str] | None = None,
+    extra_aggs: dict[str, "F.Column"] | None = None,
+    winners_join: str = "broadcast",
+) -> DataFrame:
+    """One winner per key — two-scan, zero-wide-shuffle strategy.
+
+    The batch is scanned twice, but the first scan is COLUMN-PRUNED to
+    just (key, op_ts, lsn) — for transcript rows the payload (text) is
+    ~95% of the bytes, so scan #1 reads ~5% of the batch:
+
+      1. narrow winner agg: ``max(pack_order)`` per key over only the key
+         and order columns — fixed-width DECIMAL buffer, map-side partial
+         combine, narrow shuffle. ``extra_aggs`` (lineage counters) ride
+         here and may reference ONLY key/order columns.
+      2. full-width scan joined against the winners (``winners_join`` =
+         ``broadcast`` or ``shuffle_hash``): non-winner rows drop at the
+         join, so the batch's wide rows are NEVER shuffled by key at all.
+      3. verbatim re-sends (bit-identical rows: same key AND same
+         (op_ts, lsn) — at-least-once delivery inside one batch) collapse
+         with a pure-grouping ``dropDuplicates`` over the winners only —
+         a hash aggregate with no buffer, shuffling ~one row per key.
+
+    Compared to ``lww_dedup`` (max-struct agg), which shuffles every
+    pre-combined wide row by key AND allocates a full-row struct buffer
+    per update: when the duplicate factor per map partition is low (dups
+    spread across many input files — the steady state of a sharded
+    binlog), map-side combine saves little, so max-struct moves ~the whole
+    batch's text through shuffle memory. This strategy moves the text
+    through nothing but the scan and the final bucket exchange.
+
+    ``winners_join``: ``broadcast`` when the per-batch winner set fits the
+    executors (keys × ~60 B; 10^7 keys ≈ 600 MB — switch below that), else
+    ``shuffle_hash`` (narrow build side, wide probe side streams; still no
+    wide aggregation buffers anywhere).
+    """
+    key = key or KEY
+    order = order or ORDER
+    assert order == ORDER, "narrow strategy packs (op_ts, lsn) specifically"
+    ord_col = pack_order(F.col("op_ts"), F.col("lsn"))
+    payload = [c for c in changes.columns if c not in key]
+    extras = list(extra_aggs or {})
+    wins = (
+        changes.select(*key, *order)  # column pruning reaches the scan
+        .groupBy(*key)
+        .agg(
+            F.max(ord_col).alias("_win"),
+            *[expr.alias(name) for name, expr in (extra_aggs or {}).items()],
+        )
+    )
+    if winners_join:
+        wins = wins.hint(winners_join)
+    out = (
+        changes.withColumn("_ord", ord_col)
+        .join(wins, on=list(key), how="inner")
+        .where(F.col("_ord") == F.col("_win"))
+        .drop("_ord", "_win")
+        .dropDuplicates()  # pure-grouping hash agg over winners only
+    )
+    return out.select(
+        *key,
+        *order,
+        *[c for c in payload if c not in order],
+        *extras,
+    )
+
+
 def lww_dedup_window(
     changes: DataFrame,
     key: list[str] | None = None,

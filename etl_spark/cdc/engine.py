@@ -87,9 +87,11 @@ class CdcEngine:
         num_buckets: int = 16,
         compact_threshold: int = 8,
         write_width: int = 1,
+        dedup_strategy: str | None = None,
     ):
         self.spark = spark
         self.table_path = table_path
+        self.dedup_strategy = dedup_strategy
         if LakeTable.exists(table_path):
             self.table = LakeTable(spark, table_path)
         else:
@@ -136,7 +138,10 @@ class CdcEngine:
             if stop_after is not None and applied >= stop_after:
                 break
             changes = self.spark.read.parquet(path)
-            stats = apply_batch(self.table, changes, epoch, source=source, gate=gate)
+            stats = apply_batch(
+                self.table, changes, epoch, source=source, gate=gate,
+                dedup_strategy=self.dedup_strategy,
+            )
             self._record(source, stats)
             results.append(stats)
             applied += 1
@@ -228,7 +233,8 @@ class CdcEngine:
 
         def _apply(batch_df, batch_id: int):
             stats = apply_batch(
-                self.table, batch_df, int(batch_id), source=source, gate=gate
+                self.table, batch_df, int(batch_id), source=source, gate=gate,
+                dedup_strategy=self.dedup_strategy,
             )
             self._record(source, stats)
 

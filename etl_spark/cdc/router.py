@@ -95,8 +95,10 @@ def route_batch(
     if rest is not None:
         # rest owns unknown AND NULL route values (a NULL on a non-delete
         # is still data — it must land somewhere)
-        match = F.coalesce(
-            ~F.col(route_col).isin(known), F.lit(True)
+        match = (
+            F.coalesce(~F.col(route_col).isin(known), F.lit(True))
+            if known
+            else F.lit(True)
         )
         stats["__rest__"] = apply_batch(
             rest, _routed_view(changes, route_col, match, stable_routes),
@@ -108,11 +110,73 @@ def route_batch(
 def discover_route_values(changes: DataFrame, route_col: str = "role") -> list[str]:
     """Distinct non-null route values of a batch (driver-side, bounded by
     the route-value cardinality — event-type-like, not key-like)."""
-    return sorted(
-        r[route_col]
-        for r in changes.select(route_col).distinct().collect()
-        if r[route_col] is not None
+    return discover_routes(changes, route_col)[0]
+
+
+def discover_routes(
+    changes: DataFrame, route_col: str = "role"
+) -> tuple[list[str], bool]:
+    """(distinct non-null route values, does the batch carry a NON-delete
+    row with a NULL route value). The NULL-non-delete flag rides the same
+    single aggregation: such a row is DATA that matches no per-value
+    table — it must land in a rest table or the fan-out loses it."""
+    rows = (
+        changes.groupBy(route_col)
+        .agg(F.max(F.when(F.col("op") != "D", 1).otherwise(0)).alias("_nd"))
+        .collect()
     )
+    vals = sorted(r[route_col] for r in rows if r[route_col] is not None)
+    null_nondelete = any(r[route_col] is None and r["_nd"] == 1 for r in rows)
+    return vals, null_nondelete
+
+
+def _ensure_tables(
+    spark,
+    base_path: str,
+    tables: dict[str, LakeTable],
+    vals: list[str],
+    num_buckets: int,
+) -> None:
+    import os
+
+    from .engine import CdcEngine
+
+    for val in vals:
+        if val not in tables:
+            tables[val] = CdcEngine(
+                spark, os.path.join(base_path, val), num_buckets=num_buckets
+            ).table
+
+
+def _ensure_rest(
+    spark,
+    base_path: str,
+    rest: LakeTable | None,
+    need: bool,
+    rest_name: str | None,
+    num_buckets: int,
+) -> LakeTable | None:
+    """Create ``base_path/<rest_name>`` lazily, on the first batch that
+    carries a non-delete row with a NULL route value. ``rest_name=None``
+    disables the rest table — then such a row would be silently lost
+    (general mode tombstones it everywhere; stable mode routes it
+    nowhere), so that configuration FAILS LOUDLY instead."""
+    import os
+
+    from .engine import CdcEngine
+
+    if rest is not None or not need:
+        return rest
+    if rest_name is None:
+        raise ValueError(
+            f"batch carries non-delete rows with a NULL route value and no "
+            f"rest table is configured — they would vanish from every routed "
+            f"table. Pass rest_name= (default '__rest__') or clean the NULLs "
+            f"upstream."
+        )
+    return CdcEngine(
+        spark, os.path.join(base_path, rest_name), num_buckets=num_buckets
+    ).table
 
 
 def route_replay(
@@ -122,29 +186,34 @@ def route_replay(
     route_col: str = "role",
     stable_routes: bool = False,
     num_buckets: int = 16,
+    rest_name: str | None = "__rest__",
 ):
     """Replay a change log, fanning each epoch into per-value tables
     under ``base_path/<value>`` (created on first sight of a value; the
     destination set can grow mid-log). Yields (epoch, {value: ApplyStats}).
 
+    Non-delete rows with a NULL route value land in ``base_path/<rest_name>``
+    (created lazily on first sight), keeping the invariant that the union
+    of routed snapshots equals the spine. ``rest_name=None`` raises on the
+    first such row instead of dropping it.
+
     Resumable like any replay: per-table epoch fencing turns re-run
     epochs into no-ops, so a crash anywhere converges on re-run.
     """
-    import os
-
     from .engine import CdcEngine
 
     tables: dict[str, LakeTable] = {}
+    rest: LakeTable | None = None
     for epoch, path in CdcEngine.list_epochs(change_log_dir):
         changes = spark.read.parquet(path)
-        for val in discover_route_values(changes, route_col):
-            if val not in tables:
-                tables[val] = CdcEngine(
-                    spark, os.path.join(base_path, val), num_buckets=num_buckets
-                ).table
+        vals, null_nondelete = discover_routes(changes, route_col)
+        _ensure_tables(spark, base_path, tables, vals, num_buckets)
+        rest = _ensure_rest(
+            spark, base_path, rest, null_nondelete, rest_name, num_buckets
+        )
         yield epoch, route_batch(
             tables, changes, epoch, route_col=route_col,
-            stable_routes=stable_routes,
+            stable_routes=stable_routes, rest=rest,
         )
 
 
@@ -158,10 +227,13 @@ def stream_route(
     num_buckets: int = 16,
     max_files_per_trigger: int | None = 8,
     schema=None,
+    rest_name: str | None = "__rest__",
 ):
     """Structured-Streaming fan-out: tail the change log and route every
     micro-batch into per-value tables under ``base_path/<value>``
-    (created lazily as values appear mid-stream).
+    (created lazily as values appear mid-stream). NULL-route non-delete
+    rows land in a lazily-created ``base_path/<rest_name>`` table
+    (``rest_name=None``: fail loudly instead — see route_replay).
 
     Exactly-once per table exactly like ``CdcEngine.stream``: the batch
     id is the fencing epoch, namespaced per checkpoint lineage
@@ -173,6 +245,7 @@ def stream_route(
 
     source = fencing_namespace(checkpoint_dir, "router")
     tables: dict[str, LakeTable] = {}
+    rest_box: list[LakeTable | None] = [None]
 
     reader = (
         spark.readStream.schema(schema or CHANGE_SCHEMA)
@@ -183,16 +256,14 @@ def stream_route(
     stream_df = reader.parquet(change_log_dir)
 
     def _apply(batch_df, batch_id: int):
-        import os
-
-        for val in discover_route_values(batch_df, route_col):
-            if val not in tables:
-                tables[val] = CdcEngine(
-                    spark, os.path.join(base_path, val), num_buckets=num_buckets
-                ).table
+        vals, null_nondelete = discover_routes(batch_df, route_col)
+        _ensure_tables(spark, base_path, tables, vals, num_buckets)
+        rest_box[0] = _ensure_rest(
+            spark, base_path, rest_box[0], null_nondelete, rest_name, num_buckets
+        )
         route_batch(
             tables, batch_df, int(batch_id), route_col=route_col,
-            source=source, stable_routes=stable_routes,
+            source=source, stable_routes=stable_routes, rest=rest_box[0],
         )
 
     return (

@@ -172,6 +172,14 @@ def widen_type(cur: T.DataType, inc: T.DataType) -> T.DataType | None:
     """
     if cur == inc:
         return cur
+    # void (all-NULL inference) widens to anything, in either direction:
+    # a NullType inner field says nothing about the real type, so the
+    # other side wins — mirrors the top-level evolve_to_accept void skip
+    # and heals tables where an old void field later arrives typed.
+    if isinstance(cur, T.NullType):
+        return inc
+    if isinstance(inc, T.NullType):
+        return cur
     if isinstance(cur, T.StructType) and isinstance(inc, T.StructType):
         by_name = {f.name: f for f in inc.fields}
         out, seen = [], set()
@@ -186,8 +194,11 @@ def widen_type(cur: T.DataType, inc: T.DataType) -> T.DataType | None:
                 out.append(T.StructField(f.name, w, True))
             seen.add(f.name)
         out.extend(
+            # incoming-unique void fields carry no type information —
+            # skip them rather than bake void into the table schema
             T.StructField(g.name, g.dataType, True)
-            for g in inc.fields if g.name not in seen
+            for g in inc.fields
+            if g.name not in seen and not isinstance(g.dataType, T.NullType)
         )
         return T.StructType(out)
     if isinstance(cur, T.ArrayType) and isinstance(inc, T.ArrayType):

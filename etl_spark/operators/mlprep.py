@@ -225,7 +225,10 @@ def pack_sequences(
         toks.cast("long").alias("n_tokens"),
     )
 
-    schema = "doc_id long, shard int, n_tokens long, pack_id long, pack_fill long"
+    # doc_id keeps the corpus's own id type (string ids are common) —
+    # only the derived columns are fixed-width
+    id_ddl = docs.schema[id_col].dataType.simpleString()
+    schema = f"doc_id {id_ddl}, shard int, n_tokens long, pack_id long, pack_fill long"
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", ignore_index=True)

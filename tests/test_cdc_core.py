@@ -161,16 +161,43 @@ def test_widen_int_to_long_mid_stream(spark, tmp_path):
 
 
 def test_dedup_strategies_agree(spark):
-    """All three physical strategies (max-struct agg, salted window,
-    pack+join) produce identical winners under heavy key skew."""
-    from etl_spark.cdc.dedup import lww_dedup_join
+    """All four physical strategies (max-struct agg, salted window,
+    pack+join, narrow join-back in both join modes) produce identical
+    winners under heavy key skew — including the fixture's ~5% verbatim
+    re-sends, which the join-back strategies must collapse."""
+    from etl_spark.cdc.dedup import lww_dedup_join, lww_dedup_narrow
 
     changes = gen_changes(spark, 10_000, n_convs=50, n_epochs=2)  # heavy skew
     a = lww_dedup(changes).toPandas()
     b = lww_dedup_window(changes).toPandas()
     c = lww_dedup_join(changes).toPandas()
+    d = lww_dedup_narrow(changes).toPandas()
+    e = lww_dedup_narrow(changes, winners_join="shuffle_hash").toPandas()
     assert_pdf_equal(a, b, ["conv_id", "turn_idx"])
     assert_pdf_equal(a, c, ["conv_id", "turn_idx"])
+    assert_pdf_equal(a, d, ["conv_id", "turn_idx"])
+    assert_pdf_equal(a, e, ["conv_id", "turn_idx"])
+
+
+def test_apply_narrow_strategy_byte_equal(spark, tmp_path):
+    """Full replay under the narrow dedup strategy lands byte-identical
+    final state vs the default max-struct strategy."""
+    from etl_spark.datagen import write_change_log
+
+    log = str(tmp_path / "log")
+    write_change_log(spark, log, 8_000, n_convs=40, n_epochs=2,
+                     evolve_from_epoch=1, files_per_epoch=4)
+    a = CdcEngine(spark, str(tmp_path / "agg"), num_buckets=4)
+    a.replay(log)
+    b = CdcEngine(spark, str(tmp_path / "narrow"), num_buckets=4,
+                  dedup_strategy="narrow")
+    rs = b.replay(log)
+    assert all(not r.skipped for r in rs)
+    pa = a.table.snapshot_df().toPandas()
+    pb = b.table.snapshot_df().toPandas()
+    assert_pdf_equal(pa, pb, ["conv_id", "turn_idx"])
+    # lineage counters ride the narrow phase-1 agg — same numbers
+    assert [r.rows_in for r in rs] == [8_000 // 2, 8_000 // 2]
 
 
 def test_datagen_deterministic_across_parallelism(spark):

@@ -69,3 +69,12 @@ def test_export_bootstrap_roundtrip(spark, tmp_path):
     a, b = eng.table.snapshot_df(), restored.table.snapshot_df()
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_export_empty_snapshot_json(spark, tmp_path):
+    """Empty snapshot + fmt=json: the write succeeds and rows=0 comes from
+    the write job's own Observation (a read-back of a json dir with no
+    data files would raise on schema inference)."""
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=2)
+    res = export_snapshot(eng.table, str(tmp_path / "out"), fmt="json")
+    assert res["rows"] == 0

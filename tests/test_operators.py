@@ -237,3 +237,18 @@ def test_dataset_split_stability(spark):
     sub = dataset_split(docs.where(F.col("doc_id") % 2 == 0)).toPandas()
     merged = sub.merge(full, on="doc_id", suffixes=("_sub", "_full"))
     assert (merged.split_sub == merged.split_full).all()
+
+
+def test_pack_sequences_string_doc_ids(spark):
+    """pack_sequences keeps the corpus's own id type: a string-id corpus
+    packs without the bigint-only output-schema failure."""
+    from etl_spark.operators.mlprep import pack_sequences
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumn("doc_id", F.concat(F.lit("doc-"), F.col("doc_id")))
+        .limit(500)
+    )
+    out = pack_sequences(docs, budget=64, n_shards=2).toPandas()
+    assert len(out) == 500
+    assert out.doc_id.map(lambda s: isinstance(s, str)).all()

@@ -184,3 +184,62 @@ def test_stream_route(spark, tmp_path):
     spine_df = spine.table.snapshot_df()
     assert union.count() == spine_df.count()
     assert union.exceptAll(spine_df).count() == 0
+
+
+def test_route_replay_null_route_rows_land_in_rest(spark, tmp_path):
+    """Non-delete rows with a NULL route value must not vanish: they land
+    in the lazily-created __rest__ table, and the union of all routed
+    snapshots (rest included) still equals the spine."""
+    import os
+
+    from etl_spark.cdc.router import route_replay
+    from etl_spark.lake.table import LakeTable
+
+    changes = gen_changes(spark, 3_000, n_convs=30, n_epochs=2)
+    # NULL the route value on ~1/4 of non-delete rows (role is NULL on
+    # deletes already; this adds NULL-route DATA rows)
+    changes = changes.withColumn(
+        "role",
+        F.when(F.abs(F.xxhash64("conv_id", "turn_idx")) % 4 == 0, None)
+        .otherwise(F.col("role")),
+    )
+    log = str(tmp_path / "log")
+    for ep in (0, 1):
+        changes.where(F.col("epoch") == ep).drop("epoch").write.parquet(
+            os.path.join(log, f"epoch={ep:05d}")
+        )
+    spine = CdcEngine(spark, str(tmp_path / "spine"), num_buckets=4)
+    spine.replay(log)
+
+    base = str(tmp_path / "routed")
+    list(route_replay(spark, log, base, route_col="role", num_buckets=4))
+    names = sorted(os.listdir(base))
+    assert "__rest__" in names
+    rest = LakeTable(spark, os.path.join(base, "__rest__")).snapshot_df()
+    assert rest.count() > 0
+    assert rest.where(F.col("role").isNotNull()).count() == 0
+
+    union = None
+    for v in names:
+        df = LakeTable(spark, os.path.join(base, v)).snapshot_df()
+        union = df if union is None else union.unionByName(df)
+    spine_df = spine.table.snapshot_df()
+    assert union.count() == spine_df.count()
+    assert union.exceptAll(spine_df).count() == 0
+
+
+def test_route_replay_no_rest_fails_loudly(spark, tmp_path):
+    """rest_name=None + NULL-route non-delete rows: raise, don't drop."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_spark.cdc.router import route_replay
+
+    changes = gen_changes(spark, 1_000, n_convs=10, n_epochs=1)
+    changes = changes.withColumn("role", F.lit(None).cast("string"))
+    log = str(tmp_path / "log")
+    changes.drop("epoch").write.parquet(os.path.join(log, "epoch=00000"))
+    with _pytest.raises(ValueError, match="NULL route"):
+        list(route_replay(spark, log, str(tmp_path / "routed"),
+                          route_col="role", num_buckets=4, rest_name=None))

@@ -194,3 +194,50 @@ def test_struct_field_addition_evolves(spark, tmp_path):
     )
     with _pytest.raises(ValueError):
         apply_batch(eng.table, b2, epoch=2)
+
+
+def test_struct_inner_void_field_skipped_then_heals(spark, tmp_path):
+    """An all-NULL (void-inferred) inner struct field must not bake void
+    into the table schema; when a later batch carries the real type the
+    column widens normally (and an already-baked void leaf widens away)."""
+    import datetime as dt
+
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.cdc.engine import CdcEngine
+    from etl_spark.lake.schema import widen_type
+
+    T_ = lambda s: dt.datetime.fromisoformat(s)
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=2)
+    base = ("conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp, params struct<paid:int>,"
+            " op string, op_ts timestamp, lsn long")
+    b0 = spark.createDataFrame(
+        [("c1", 0, "user", "a", None, T_("2025-01-01 00:00:00"),
+          {"paid": 1}, "I", T_("2025-01-01 00:00:01"), 1)], base)
+    apply_batch(eng.table, b0, epoch=0)
+
+    # epoch 1 carries params.vip as all-NULL → createDataFrame infers void;
+    # the widen must SKIP it (no void in the table schema)
+    voidy = base.replace("struct<paid:int>", "struct<paid:int, vip:void>")
+    b1 = spark.createDataFrame(
+        [("c2", 0, "user", "b", None, T_("2025-01-01 00:00:00"),
+          {"paid": 2, "vip": None}, "I", T_("2025-01-01 00:00:02"), 2)], voidy)
+    apply_batch(eng.table, b1, epoch=1)
+    params_t = dict(zip(eng.table.schema().names(),
+                        [f.type for f in eng.table.schema().fields]))
+    assert "vip" not in str(params_t["params"])
+
+    # epoch 2 carries the real type → widens cleanly (no (void,T) failure)
+    typed = base.replace("struct<paid:int>", "struct<paid:int, vip:boolean>")
+    b2 = spark.createDataFrame(
+        [("c3", 0, "user", "c", None, T_("2025-01-01 00:00:00"),
+          {"paid": 3, "vip": True}, "I", T_("2025-01-01 00:00:03"), 3)], typed)
+    st = apply_batch(eng.table, b2, epoch=2)
+    assert any("vip" in c for c in st.schema_changes), st.schema_changes
+    got = {r.conv_id: r.params for r in eng.table.snapshot_df().collect()}
+    assert got["c3"]["vip"] is True and got["c2"]["vip"] is None
+
+    # direct widen_type: void heals in either direction
+    import pyspark.sql.types as Ty
+    assert widen_type(Ty.NullType(), Ty.StringType()) == Ty.StringType()
+    assert widen_type(Ty.StringType(), Ty.NullType()) == Ty.StringType()
