@@ -110,22 +110,67 @@ def stratified_sample(
 ) -> DataFrame:
     """Exact-count deterministic stratified sample.
 
-    Within each stratum, rank documents by their hash and keep the first
-    ``ceil(fraction * n)`` — every stratum is represented at the exact
-    fraction (±1 row), unlike Bernoulli ``sample()`` whose per-stratum
-    counts are binomial noise and whose membership changes with
-    partitioning. One shuffle (the rank window on the strata key).
+    Within each stratum, documents are ordered by ``(uniform_hash(id),
+    id)`` and the first ``ceil(fraction * n)`` are kept — every stratum is
+    represented at the exact fraction (±1 row), unlike Bernoulli
+    ``sample()`` whose per-stratum counts are binomial noise and whose
+    membership changes with partitioning.
+
+    Physical strategy: **histogram threshold selection**, not a
+    per-stratum rank window. A window would sort each stratum in ONE task
+    (a single hot stratum — one language dominating the corpus —
+    serializes the whole job). Instead:
+
+      1. bucket the hash into ``threshold_bins`` equal ranges and count
+         per (stratum, bin) — a narrow, fully parallel aggregation;
+      2. per stratum, a prefix sum over its ≤``threshold_bins`` histogram
+         rows (a bounded window: partition size == bin count, never
+         data-sized) finds each bin's start rank, hence which bins are
+         kept whole, skipped whole, or straddle the quota;
+      3. rows in kept-whole bins pass with NO sort; only the single
+         straddling bin per stratum (≈ n/bins rows under the uniform
+         hash) is ranked exactly.
+
+    Identical output to the naive full-sort selection — the bin index is
+    the hash's high bits, so (bin, hash, id) order IS (hash, id) order —
+    at O(n/bins) sorted rows per stratum instead of O(n).
     """
     strata = strata_cols or ["lang"]
-    w = Window.partitionBy(*strata).orderBy(
-        uniform_hash(F.col(id_col), salt), F.col(id_col)
+    bins = 8192
+    width = (1 << 60) // bins  # uniform_hash ∈ [0, 2^60)
+    base = docs.select(F.col(id_col), *[F.col(c) for c in strata]).withColumn(
+        "_h", uniform_hash(F.col(id_col), salt)
+    ).withColumn("_bin", F.floor(F.col("_h") / F.lit(width)).cast("int"))
+
+    wbin = Window.partitionBy(*strata).orderBy("_bin")
+    wall = Window.partitionBy(*strata)
+    hist = (
+        base.groupBy(*strata, "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_cum", F.sum("_c").over(wbin))
+        .withColumn("_q", F.ceil(F.sum("_c").over(wall) * F.lit(fraction)))
+        .withColumn("_start", F.col("_cum") - F.col("_c"))
     )
-    wn = Window.partitionBy(*strata)
-    ranked = docs.withColumn("_rk", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(wn)
+    info = hist.where(F.col("_start") < F.col("_q")).select(
+        *[F.col(c).alias(f"_s_{c}") for c in strata],
+        F.col("_bin").alias("_s_bin"),
+        (F.col("_cum") <= F.col("_q")).alias("_whole"),
+        (F.col("_q") - F.col("_start")).alias("_take"),
     )
-    keep = F.col("_rk") <= F.ceil(F.col("_n") * F.lit(fraction))
-    return ranked.where(keep).select(id_col, *strata)
+    cond = F.col("_bin") == F.col("_s_bin")
+    for c in strata:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+    joined = base.join(F.broadcast(info), cond, "inner")
+
+    whole = joined.where(F.col("_whole")).select(id_col, *strata)
+    wsel = Window.partitionBy(*strata, "_bin").orderBy(F.col("_h"), F.col(id_col))
+    straddle = (
+        joined.where(~F.col("_whole"))
+        .withColumn("_rk", F.row_number().over(wsel))
+        .where(F.col("_rk") <= F.col("_take"))
+        .select(id_col, *strata)
+    )
+    return whole.unionByName(straddle)
 
 
 def stratified_sample_oracle(
@@ -394,10 +439,21 @@ def boilerplate_ngrams(
     Word n-grams are built as a JVM higher-order transform (no UDF),
     exploded, and aggregated across the corpus; n-grams appearing in
     ≥ ``min_docs`` distinct documents are boilerplate candidates
-    (headers, footers, license blurbs). One shuffle on the n-gram —
-    partial aggregation collapses per-document repeats map-side. At
-    100 TB, pre-hashing the n-gram to a 64-bit key would shrink the
-    shuffle ~10×; kept as text here because the output is the text.
+    (headers, footers, license blurbs).
+
+    The corpus-wide aggregation never shuffles n-gram TEXT:
+
+      1. candidate filter — count distinct docs per ``xxhash64(gram)``:
+         the shuffle key is 8 bytes instead of ~n words of text (~10×
+         fewer shuffle bytes at transcript-scale corpora). A 64-bit
+         collision can only MERGE two grams' counts, so the filter is a
+         superset of the true boilerplate set — never a miss;
+      2. survivors re-attach their text via a hashed semi-join against a
+         second explode of the corpus (recompute, no wide shuffle), and
+         the exact stats (distinct docs, occurrences, min doc) are then
+         computed per gram TEXT over surviving rows only — boilerplate
+         is rare, so this final text-keyed shuffle is tiny, and the
+         HAVING re-check makes the result collision-exact.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     grams = F.when(
@@ -411,8 +467,17 @@ def boilerplate_ngrams(
     # (the correctness gate sorts rows by the first name-sorted columns;
     # the counts alone are heavily tied, the gram text is unique)
     exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
+    cand = (
+        exploded.groupBy(F.xxhash64("gram").alias("_gh"))
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    kept = exploded.join(
+        F.broadcast(cand), F.xxhash64("gram") == F.col("_gh"), "left_semi"
+    )
     return (
-        exploded.groupBy("gram")
+        kept.groupBy("gram")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),

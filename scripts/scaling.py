@@ -76,8 +76,17 @@ for rep in range(reps):
     n = sum(r.rows_in for r in rs)
     runs.append({{"wall_s": round(dt, 2), "events_per_s": round(n / dt, 1)}})
 runs_sorted = sorted(runs, key=lambda r: r["wall_s"])
+# warm statistics: the first two reps are JIT/codegen warm-up (measured:
+# rep walls like 205 -> 69 -> 15 s at 32 threads) — a long-running ingest
+# never pays them, so they are excluded from the warm_* stats when enough
+# reps exist to afford it.
+warm = runs[2:] if reps >= 4 else runs
+warm_sorted = sorted(warm, key=lambda r: r["wall_s"])
 print(json.dumps({{"cpus": cpus, "mode": mode, "events": n, "best": runs_sorted[0],
-                   "median": runs_sorted[len(runs_sorted)//2], "all": runs}}))
+                   "median": runs_sorted[len(runs_sorted)//2],
+                   "warm_best": warm_sorted[0],
+                   "warm_median": warm_sorted[len(warm_sorted)//2],
+                   "all": runs}}))
 """
 
 
@@ -185,6 +194,10 @@ def main() -> int:
 
     t8, t32 = results[lo]["best"]["events_per_s"], results[hi]["best"]["events_per_s"]
     m8, m32 = results[lo]["median"]["events_per_s"], results[hi]["median"]["events_per_s"]
+    w8 = results[lo].get("warm_best", results[lo]["best"])["events_per_s"]
+    w32 = results[hi].get("warm_best", results[hi]["best"])["events_per_s"]
+    wm8 = results[lo].get("warm_median", results[lo]["median"])["events_per_s"]
+    wm32 = results[hi].get("warm_median", results[hi]["median"])["events_per_s"]
     print(json.dumps({
         "events": args.events, "mode": mode, "levels": [lo, hi],
         f"local{lo}": results[lo], f"local{hi}": results[hi],
@@ -192,6 +205,8 @@ def main() -> int:
         "efficiency_best": round(t32 / t8 / factor, 3),
         "speedup_median": round(m32 / m8, 3),
         "efficiency_median": round(m32 / m8 / factor, 3),
+        "efficiency_warm_best": round(w32 / w8 / factor, 3),
+        "efficiency_warm_median": round(wm32 / wm8 / factor, 3),
         "target": 0.8,
     }))
     import shutil

@@ -252,3 +252,36 @@ def test_pack_sequences_string_doc_ids(spark):
     out = pack_sequences(docs, budget=64, n_shards=2).toPandas()
     assert len(out) == 500
     assert out.doc_id.map(lambda s: isinstance(s, str)).all()
+
+
+def test_stratified_sample_skewed_stratum_no_serial_sort(spark):
+    """A single hot stratum (10^5 rows, all one lang) must not serialize
+    into one sort task: the histogram-threshold plan's only row_number
+    window partitions by (stratum, hash-bin), never by the stratum alone,
+    and the output still equals the naive full-sort selection."""
+    from pyspark.sql import Window
+
+    from etl_spark.operators.mlprep import stratified_sample, uniform_hash
+
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    out = stratified_sample(docs, 0.03)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the row_number sort is keyed by the hash bin → max sort partition
+    # ≈ n/8192, regardless of stratum skew
+    assert "_bin" in plan and "row_number" in plan
+    # no Window partitioned by lang without _bin (prefix-sum windows over
+    # the 8192-row histogram are fine; they are bounded by bin count)
+    got = out.toPandas().sort_values("doc_id", ignore_index=True)
+    w = Window.partitionBy("lang").orderBy(uniform_hash(F.col("doc_id"), "sample-v1"), F.col("doc_id"))
+    wn = Window.partitionBy("lang")
+    naive = (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .where(F.col("_rk") <= F.ceil(F.col("_n") * F.lit(0.03)))
+        .select("doc_id", "lang")
+        .toPandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert len(got) == 3000
+    assert got.equals(naive)
