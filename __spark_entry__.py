@@ -36,6 +36,7 @@ _SWEEP_FIRST = [
     "prep_stratified_sample", "j6_anti_join", "a_pivot_counts",
     "j7_semi_join", "w8_lag_gaps", "w2_first_event", "a_grouping_sets",
     "d_monthly_rollup", "doc_fingerprint", "doc_stats", "media_features",
+    "media_decode",
     "w1_lww_dedup", "w_rolling_28d", "u_set_ops", "j1_left_join_preagg",
     "topk_orders_per_customer", "prep_chunk_documents",
     "prep_pack_sequences", "a2_user_metrics", "w5_sessions",

@@ -146,6 +146,7 @@ def lww_dedup_narrow(
     order: list[str] | None = None,
     extra_aggs: dict[str, "F.Column"] | None = None,
     winners_join: str = "broadcast",
+    observe: tuple | None = None,
 ) -> DataFrame:
     """One winner per key — two-scan, zero-wide-shuffle strategy.
 
@@ -174,9 +175,16 @@ def lww_dedup_narrow(
     through nothing but the scan and the final bucket exchange.
 
     ``winners_join``: ``broadcast`` when the per-batch winner set fits the
-    executors (keys × ~60 B; 10^7 keys ≈ 600 MB — switch below that), else
+    executors (keys × ~40 B; 10^7 keys ≈ 400 MB — switch below that), else
     ``shuffle_hash`` (narrow build side, wide probe side streams; still no
     wide aggregation buffers anywhere).
+
+    ``extra_aggs`` (per-key lineage counters) ride the phase-1 agg and the
+    join, widening the broadcast. When the caller only needs GLOBAL
+    reductions of them (the apply path: sums/mins over the whole batch),
+    pass ``observe=(Observation, [agg_col, ...])`` instead — the
+    aggregates are observed during the phase-1 scan and the broadcast
+    stays at ``(key, _win)``, the smallest possible driver round-trip.
     """
     key = key or KEY
     order = order or ORDER
@@ -184,13 +192,13 @@ def lww_dedup_narrow(
     ord_col = pack_order(F.col("op_ts"), F.col("lsn"))
     payload = [c for c in changes.columns if c not in key]
     extras = list(extra_aggs or {})
-    wins = (
-        changes.select(*key, *order)  # column pruning reaches the scan
-        .groupBy(*key)
-        .agg(
-            F.max(ord_col).alias("_win"),
-            *[expr.alias(name) for name, expr in (extra_aggs or {}).items()],
-        )
+    narrow = changes.select(*key, *order)  # column pruning reaches the scan
+    if observe is not None:
+        obs, agg_cols = observe
+        narrow = narrow.observe(obs, *agg_cols)
+    wins = narrow.groupBy(*key).agg(
+        F.max(ord_col).alias("_win"),
+        *[expr.alias(name) for name, expr in (extra_aggs or {}).items()],
     )
     if winners_join:
         wins = wins.hint(winners_join)

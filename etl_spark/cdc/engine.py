@@ -101,6 +101,16 @@ class CdcEngine:
                 write_width=write_width,
             )
         self.lineage = LineageLog(os.path.join(table_path, "_lineage", "lineage.jsonl"))
+        self.alerts_path = os.path.join(table_path, "_lineage", "alerts.jsonl")
+
+    def _attach_alert_sink(self, gate) -> None:
+        """Default alert destination for gate violations: a lineage-style
+        JSONL table next to the lineage log (only when the caller didn't
+        wire their own sink)."""
+        if gate is not None and gate.sink is None:
+            from ..quality import JsonlAlertSink
+
+            gate.sink = JsonlAlertSink(self.alerts_path)
 
     # -- batch replay ---------------------------------------------------------
 
@@ -130,6 +140,7 @@ class CdcEngine:
         unfenced (reference: mandatory test failure aborts the DAG run,
         plugins/operators/test.py:45-64).
         """
+        self._attach_alert_sink(gate)
         results: list[ApplyStats] = []
         applied = 0
         for epoch, path in self.list_epochs(change_log_dir):
@@ -208,6 +219,7 @@ class CdcEngine:
         Call ``.processAllAvailable()`` / ``awaitTermination`` on the result.
         """
         source = fencing_namespace(checkpoint_dir, source)
+        self._attach_alert_sink(gate)
 
         if wire_format == "debezium":
             from .envelope import parse_debezium

@@ -51,6 +51,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .metastore import (  # noqa: F401 — _atomic_write_text re-exported
+    ConcurrentCommitError,
+    MetadataStore,
+    PosixMetadataStore,
+    _atomic_write_text,
+    _fsync_dir,
+)
 from .schema import TableSchema, align, project_written
 
 META_DIR = "_meta"
@@ -67,12 +74,9 @@ _INTERNAL_TYPES = {
 ORDER_COLS = ["_op_ts", "_lsn"]
 
 
-class ConcurrentCommitError(RuntimeError):
-    """A racing writer published the metadata version this commit wanted.
-
-    Raised to callers only after optimistic retries are exhausted (or from
-    the raw ``_atomic_publish_json`` reservation, which the retrying commit
-    paths catch internally)."""
+# ConcurrentCommitError lives in metastore (the backend raises it from the
+# version reservation); re-exported here so callers keep importing it from
+# lake.table alongside its semantic subclasses below.
 
 
 class CommitConflictError(ConcurrentCommitError):
@@ -90,9 +94,21 @@ class EpochFencedError(ConcurrentCommitError):
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, path: str, at_version: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        at_version: int | None = None,
+        store: MetadataStore | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
+        # commit-protocol backend (see lake.metastore): POSIX by default;
+        # object-store/catalog backends plug in here without touching any
+        # commit logic
+        self._store = store or PosixMetadataStore(
+            os.path.join(self.path, META_DIR)
+        )
         # Time travel: pin all reads to metadata version ``at_version``
         # (Iceberg ``VERSION AS OF``). A pinned table is read-only; write
         # paths are inherently fenced anyway (committing v+1 when v+1
@@ -115,13 +131,13 @@ class LakeTable:
         if_not_exists: bool = False,
         stats_col: str | None = "ts",
         write_width: int = 1,
+        store: MetadataStore | None = None,
     ) -> "LakeTable":
-        meta_dir = os.path.join(path, META_DIR)
-        if os.path.exists(os.path.join(meta_dir, HINT)):
+        store = store or PosixMetadataStore(os.path.join(path, META_DIR))
+        if store.read_hint() is not None:
             if if_not_exists:
-                return LakeTable(spark, path)
+                return LakeTable(spark, path, store=store)
             raise FileExistsError(f"table already exists at {path}")
-        os.makedirs(meta_dir, exist_ok=True)
         ts = TableSchema.from_struct(schema)
         meta = {
             "format_version": 2,
@@ -145,29 +161,29 @@ class LakeTable:
             # leaf), "schema_version": int, "ts_stats": {min,max,nulls,rows}|None}
             "files": {},
         }
-        _atomic_publish_json(os.path.join(meta_dir, "v0.json"), meta)
-        _atomic_write_text(os.path.join(meta_dir, HINT), "0")
-        return LakeTable(spark, path)
+        store.publish_json(0, meta)
+        store.write_hint(0)
+        return LakeTable(spark, path, store=store)
 
     @staticmethod
-    def exists(path: str) -> bool:
-        return os.path.exists(os.path.join(path, META_DIR, HINT))
+    def exists(path: str, store: MetadataStore | None = None) -> bool:
+        store = store or PosixMetadataStore(os.path.join(path, META_DIR))
+        return store.read_hint() is not None
 
     def _load_meta(self, at_version: int | None = None) -> dict:
         if at_version is None:
-            hint = os.path.join(self.path, META_DIR, HINT)
-            with open(hint) as f:
-                v = int(f.read().strip())
+            v = self._store.read_hint()
+            if v is None:
+                raise FileNotFoundError(f"no table at {self.path}")
         else:
             v = int(at_version)
-        target = os.path.join(self.path, META_DIR, f"v{v}.json")
-        if not os.path.exists(target):
+        try:
+            return self._store.read_json(v)
+        except FileNotFoundError:
             raise FileNotFoundError(
-                f"metadata version {v} not found at {target}"
+                f"metadata version {v} not found under {self.path}"
                 + (" (expired by vacuum?)" if at_version is not None else "")
             )
-        with open(target) as f:
-            return json.load(f)
 
     def refresh(self) -> None:
         if self._pinned:
@@ -997,10 +1013,11 @@ class LakeTable:
             )
         new_v = meta["version"] + 1
         meta["version"] = new_v
-        target = os.path.join(self.path, META_DIR, f"v{new_v}.json")
-        _atomic_publish_json(target, meta)
-        _atomic_write_text(os.path.join(self.path, META_DIR, HINT), str(new_v))
-        _fsync_dir(os.path.join(self.path, META_DIR))
+        # the version reservation IS the commit: publish fails atomically
+        # if a racing writer claimed v{N} first (backend-specific —
+        # os.link EEXIST, object-store conditional PUT, catalog CAS)
+        self._store.publish_json(new_v, meta)
+        self._store.write_hint(new_v)
         self._meta = meta
 
     def snapshots_truncated_before(self) -> int:
@@ -1071,36 +1088,11 @@ class LakeTable:
                     shutil.rmtree(sd, ignore_errors=True)
         removed_meta = 0
         cur_v = self._meta["version"]
-        meta_dir = os.path.join(self.path, META_DIR)
-        for name in os.listdir(meta_dir):
-            m = name.removeprefix("v").removesuffix(".json")
-            if name.startswith("v") and name.endswith(".json") and m.isdigit():
-                if int(m) <= cur_v - keep_meta_versions:
-                    os.remove(os.path.join(meta_dir, name))
-                    removed_meta += 1
+        for v in self._store.list_versions():
+            if v <= cur_v - keep_meta_versions:
+                self._store.delete_version(v)
+                removed_meta += 1
         return {"removed_data_dirs": removed, "removed_meta_versions": removed_meta}
-
-
-def _atomic_publish_json(path: str, obj: dict) -> None:
-    """Write-then-LINK: os.link fails with EEXIST if the target exists, so
-    version reservation is atomic — two racing committers cannot both
-    claim v{N} (a bare rename would silently clobber the loser)."""
-    tmp = path + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, path)
-    except FileExistsError:
-        raise ConcurrentCommitError(
-            f"metadata version {os.path.basename(path)} already exists — concurrent writer?"
-        )
-    finally:
-        try:
-            os.remove(tmp)
-        except FileNotFoundError:
-            pass
 
 
 def _parse_ts(v):
@@ -1119,20 +1111,5 @@ def _ts_plain(dt):
     return dt.replace(tzinfo=None) if getattr(dt, "tzinfo", None) is not None else dt
 
 
-def _atomic_write_text(path: str, text: str) -> None:
-    tmp = path + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(text)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)
-
-
-def _fsync_dir(path: str) -> None:
-    """fsync the directory entry updates — without it a power loss can
-    persist the hint flip but lose v{N}.json's dir entry."""
-    fd = os.open(path, os.O_DIRECTORY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+# _atomic_write_text / _fsync_dir live in lake.metastore (imported above
+# and re-exported for callers that write checkpoint-local markers).

@@ -192,6 +192,69 @@ class GateReport:
     def to_dict(self) -> dict:
         return {"ok": self.ok, "checks": [r.to_dict() for r in self.results]}
 
+    def alert_rows(self, context: dict | None = None) -> list[dict]:
+        """One structured alert record per FAILED check (both severities;
+        the sink/operator routes on ``severity``)."""
+        return [
+            {
+                "severity": r.level,
+                "check": r.name,
+                "measured": r.measured,
+                "op": r.op,
+                "threshold": r.threshold,
+                "description": r.description,
+                **(context or {}),
+            }
+            for r in self.results
+            if not r.passed
+        ]
+
+
+class AlertSink:
+    """Destination for gate-violation alerts (the reference routes
+    mandatory failures to the DAG run and optional ones to warnings —
+    plugins/operators/test.py:45-64; here both land as structured records
+    and the severity field carries the routing)."""
+
+    def emit(self, alerts: list[dict]) -> None:
+        raise NotImplementedError
+
+
+class JsonlAlertSink(AlertSink):
+    """Lineage-style alerts table: JSONL next to the table, one row per
+    violated check per batch, readable back as a DataFrame."""
+
+    def __init__(self, path: str):
+        import os
+
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def emit(self, alerts: list[dict]) -> None:
+        import json
+        import os
+        import time
+
+        if not alerts:
+            return
+        with open(self.path, "a") as f:
+            for a in alerts:
+                f.write(json.dumps({"at": time.time(), **a}, default=str) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def rows(self) -> list[dict]:
+        import json
+        import os
+
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def to_df(self, spark):
+        return spark.createDataFrame(self.rows())
+
 
 class GateFailure(RuntimeError):
     """A mandatory check failed; the stage's commit was blocked."""
@@ -206,11 +269,22 @@ class GateFailure(RuntimeError):
 
 
 class QualityGate:
-    """A named set of checks evaluated in one aggregate pass."""
+    """A named set of checks evaluated in one aggregate pass.
 
-    def __init__(self, checks: list[Check], name: str = "gate"):
+    ``sink`` (an ``AlertSink``) receives one structured record per failed
+    check — optional violations alert WITHOUT blocking, mandatory ones
+    alert AND block. The CDC engine attaches a JSONL sink next to the
+    table's lineage log when the caller didn't provide one."""
+
+    def __init__(self, checks: list[Check], name: str = "gate",
+                 sink: AlertSink | None = None):
         self.checks = list(checks)
         self.name = name
+        self.sink = sink
+
+    def emit_alerts(self, report: GateReport, context: dict | None = None) -> None:
+        if self.sink is not None:
+            self.sink.emit(report.alert_rows({"gate": self.name, **(context or {})}))
 
     def observe_cols(self, row_filter: Column | None = None) -> list[Column]:
         return [c.observe_col(row_filter) for c in self.checks]

@@ -490,6 +490,31 @@ def media_features(spark, sf_dir):
     return extract_features(media)
 
 
+# Real-codec roundtrip: every document becomes a spec-compliant 24-bit BMP
+# (bottom-up rows, stride padding) whose stats are analytic in the text's
+# byte length, so DuckDB verifies the pure-NumPy DECODER without a codec:
+# a decoder that misreads the header, forgets the bottom-up flip, or
+# includes padding bytes diverges from the closed-form oracle.
+_MEDIA_DECODE_ORACLE = """
+WITH d AS (SELECT doc_id, strlen(text) AS L FROM documents)
+SELECT doc_id AS media_id,
+       CAST(4 + L % 29 AS INTEGER) AS width,
+       CAST(3 + L % 13 AS INTEGER) AS height,
+       round(list_sum(list_transform(range(0, 3 + L % 13),
+                                     r -> (r * 13 + L) % 256))
+             / CAST(3 + L % 13 AS DOUBLE), 4) AS mean_px,
+       CAST(L % 256 AS DOUBLE) AS top_row_mean
+FROM d
+"""
+
+
+@register("media_decode", _MEDIA_DECODE_ORACLE)
+def media_decode(spark, sf_dir):
+    from .operators.multimodal import bmp_from_docs, decode_bmp_features
+
+    return decode_bmp_features(bmp_from_docs(_t(spark, sf_dir, "documents")))
+
+
 # --------------------------------------------------------------------------
 # Dataset-preparation family (operators/mlprep.py): deterministic split,
 # stratified sampling, PII redaction, greedy sequence packing, near-dup

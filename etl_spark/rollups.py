@@ -92,7 +92,17 @@ def _window_agg(src: LakeTable, lo: dt.date, hi_exclusive: dt.date,
 def refresh_rollups(src: LakeTable, dst_root: str) -> dict:
     """Bring the daily/weekly/monthly rollups up to date with the
     source's closed partitions. Returns {"days": [...], "weeks": [...],
-    "months": [...]} actually recomputed (empty lists = nothing to do).
+    "months": [...], "restated": [...]} actually recomputed (empty lists
+    = nothing to do).
+
+    Restatement wiring (the reference's D-2/D-1/D re-run cascade,
+    DAG_external_source.py:132-224): a CLOSED day that later receives
+    late data — ``cdc.partitions.restatements()`` detects it from
+    metadata alone — shows up here as a changed leaf set vs the rollup
+    state file, so exactly that day and its week/month re-derive on the
+    next refresh; days whose leaves didn't change are never recomputed.
+    ``restated`` lists the re-derived (previously rolled-up) days,
+    distinguishing them from first-time closures.
     """
     src.refresh()
     os.makedirs(dst_root, exist_ok=True)
@@ -106,8 +116,9 @@ def refresh_rollups(src: LakeTable, dst_root: str) -> dict:
         leaves_now[day] = leaves
         if state.get(day) != leaves:
             need.append(day)
+    restated = [d for d in need if d in state]
     if not need:
-        return {"days": [], "weeks": [], "months": []}
+        return {"days": [], "weeks": [], "months": [], "restated": []}
 
     spark = src.spark
 
@@ -143,6 +154,7 @@ def refresh_rollups(src: LakeTable, dst_root: str) -> dict:
         "days": need,
         "weeks": [str(w) for w in weeks],
         "months": [str(m)[:7] for m in months],
+        "restated": restated,
     }
 
 

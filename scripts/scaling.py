@@ -67,14 +67,20 @@ from etl_spark.session import get_spark
 from etl_spark.cdc.engine import CdcEngine
 spark = get_spark(f"scaling_{{cpus}}", master=master, shuffle_partitions=cpus,
                   extra_conf=extra)
+import shutil
 runs = []
 for rep in range(reps):
-    eng = CdcEngine(spark, os.path.join(work, f"tbl_{{cpus}}_{{rep}}"), num_buckets=32)
+    path = os.path.join(work, f"tbl_{{cpus}}_{{rep}}")
+    eng = CdcEngine(spark, path, num_buckets=32)
     t0 = time.time()
     rs = eng.replay(log_dir)
     dt = time.time() - t0
     n = sum(r.rows_in for r in rs)
     runs.append({{"wall_s": round(dt, 2), "events_per_s": round(n / dt, 1)}})
+    print(json.dumps({{"cpus": cpus, "rep": rep, **runs[-1]}}), file=sys.stderr)
+    # reclaim the rep's table immediately: accumulated tables otherwise
+    # fill /tmp and shift page-cache/writeback pressure onto later reps
+    shutil.rmtree(path, ignore_errors=True)
 runs_sorted = sorted(runs, key=lambda r: r["wall_s"])
 # warm statistics: the first two reps are JIT/codegen warm-up (measured:
 # rep walls like 205 -> 69 -> 15 s at 32 threads) — a long-running ingest
@@ -106,6 +112,15 @@ def run_level(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=40_000_000)
+    ap.add_argument(
+        "--convs",
+        type=int,
+        default=0,
+        help="conversation count (default events/2000). Pin it when scaling "
+        "--events to model the real CDC shape: change VOLUME grows with "
+        "retention/traffic, the table's hot key set does not — and the "
+        "narrow dedup's broadcast (∝ keys) must not grow with the epoch.",
+    )
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument(
         "--pairs",
@@ -156,7 +171,8 @@ def main() -> int:
     spark = get_spark("scaling_gen")
     write_change_log(
         spark, log_dir, args.events,
-        n_convs=max(200, args.events // 2_000), n_epochs=1, files_per_epoch=128,
+        n_convs=args.convs or max(200, args.events // 2_000),
+        n_epochs=1, files_per_epoch=128,
     )
     spark.stop()
 

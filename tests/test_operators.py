@@ -285,3 +285,34 @@ def test_stratified_sample_skewed_stratum_no_serial_sort(spark):
     )
     assert len(got) == 3000
     assert got.equals(naive)
+
+
+def test_bmp_codec_roundtrip():
+    """Pure-NumPy BMP encode/decode: every stride-padding case (w%4 in
+    0..3), bottom-up row order recovered, padding excluded from stats."""
+    import numpy as np
+
+    from etl_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    for w in (4, 5, 6, 7, 640):
+        h = 5
+        px = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3) % 256
+        px = px.astype(np.uint8)
+        d = decode_bmp(encode_bmp(px))
+        assert (d["width"], d["height"]) == (w, h)
+        assert abs(d["mean_px"] - float(px.mean())) < 1e-9
+        assert abs(d["top_row_mean"] - float(px[0].mean())) < 1e-9
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from etl_spark.operators.multimodal import decode_wav, encode_wav
+
+    t = np.arange(16_000, dtype=np.float64)
+    samples = (10_000 * np.sin(2 * np.pi * 440 * t / 16_000)).astype(np.int16)
+    d = decode_wav(encode_wav(samples, 16_000))
+    assert d["sample_rate"] == 16_000 and d["channels"] == 1
+    assert d["n_samples"] == 16_000 and abs(d["duration_s"] - 1.0) < 1e-9
+    # RMS of a 10k-amplitude sine ≈ 10000/sqrt(2)
+    assert abs(d["rms"] - 10_000 / np.sqrt(2)) < 50

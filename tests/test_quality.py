@@ -110,3 +110,51 @@ def test_blocked_commit_orphan_is_vacuumable(spark, tmp_path):
     # table still consistent and writable after reclaim
     apply_batch(eng.table, log, epoch=0)
     assert eng.table.snapshot_df().count() > 0
+
+
+def test_optional_violation_emits_alert_and_commits(spark, tmp_path):
+    """Severity routing to the alert sink: an OPTIONAL violation writes a
+    structured alert row to the engine's alerts table while the commit
+    proceeds; a MANDATORY violation writes its alert AND blocks."""
+    import json
+    import os
+
+    from etl_spark.quality import JsonlAlertSink, fraction_check
+
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    log = gen_changes(spark, 3_000, n_convs=30, n_epochs=2).cache()
+    # every conversation has turns > 0, so this optional check violates
+    gate = QualityGate(
+        [fraction_check("turn_cap_opt", F.col("turn_idx") > 0, 0.0,
+                        level=OPTIONAL)]
+    )
+    stats = eng.replay(str(_write_log(spark, log, tmp_path)), gate=gate)
+    assert all(s.snapshot_id is not None for s in stats)  # commits proceeded
+    sink = JsonlAlertSink(eng.alerts_path)
+    alerts = sink.rows()
+    assert len(alerts) == 2  # one per epoch
+    a = alerts[0]
+    assert a["severity"] == OPTIONAL and a["check"] == "turn_cap_opt"
+    assert a["measured"] > 0 and a["threshold"] == 0.0 and a["op"] == "<="
+    assert a["epoch"] == 0 and a["gate"] == "gate"
+
+    # mandatory: alert row lands even though the commit is blocked
+    eng2 = CdcEngine(spark, str(tmp_path / "tbl2"), num_buckets=4)
+    bad = QualityGate([fraction_check("turn_cap", F.col("turn_idx") > 0, 0.0)])
+    with pytest.raises(GateFailure):
+        eng2.replay(str(_write_log(spark, log, tmp_path, name="log2")), gate=bad)
+    rows = JsonlAlertSink(eng2.alerts_path).rows()
+    assert len(rows) == 1 and rows[0]["severity"] == "mandatory"
+    log.unpersist()
+
+
+def _write_log(spark, log, tmp_path, name="log"):
+    import os
+
+    d = tmp_path / name
+    if not os.path.exists(str(d)):
+        for ep in (0, 1):
+            log.where(F.col("epoch") == ep).drop("epoch").write.parquet(
+                str(d / f"epoch={ep:05d}")
+            )
+    return d

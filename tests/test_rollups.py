@@ -58,21 +58,46 @@ def test_initial_refresh_matches_oracle(spark, setup):
     assert (wk.active_convs <= got.active_convs.sum()).all()
 
     # idempotent: nothing to do the second time
-    assert refresh_rollups(table, dst) == {"days": [], "weeks": [], "months": []}
+    assert refresh_rollups(table, dst) == {"days": [], "weeks": [], "months": [], "restated": []}
 
 
 def test_restatement_recomputes_only_changed_days(spark, setup):
+    """Late data into CLOSED days: restatements() flags exactly the
+    affected days from metadata, the next refresh re-derives exactly
+    those days and their weeks/months (nothing else recomputes), and a
+    further refresh is a no-op."""
+    from etl_spark.cdc.partitions import restatements
+    from etl_spark.rollups import _week_start
+
     table, log, dst = setup
-    refresh_rollups(table, dst)
-    # late data lands in closed days → leaf sets change → re-stated
-    apply_batch(table, log.where(F.col("epoch") == 2).drop("epoch"), epoch=2)
+    first = refresh_rollups(table, dst)
+    assert first["restated"] == []  # first-time closures, not restatements
+    # late data lands in SOME closed days (a time slice of epoch 2) →
+    # exactly those leaf sets change → exactly those days re-state
+    late_batch = log.where(
+        (F.col("epoch") == 2) & (F.col("ts") < F.lit("2025-01-01 12:00:00"))
+    ).drop("epoch")
+    apply_batch(table, late_batch, epoch=2)
     table.refresh()
+    flagged = {r["day"] for r in restatements(table)}
+    assert flagged, "metadata-only restatement detection must fire"
     res = refresh_rollups(table, dst)
     assert res["days"], "restated closed days must recompute"
+    # exactly the flagged days — closed days without late data stay put
+    assert set(res["days"]) == flagged
+    assert set(res["restated"]) == flagged  # all were previously rolled up
+    untouched = set(first["days"]) - flagged
+    assert untouched, "fixture must leave some closed days without late data"
+    # exactly the affected weeks re-derive
+    want_weeks = sorted({str(_week_start(dt.date.fromisoformat(d))) for d in flagged})
+    assert res["weeks"] == want_weeks
     create_rollup_views(spark, dst)
     got = spark.table("rollup_daily").toPandas()
     got["day_"] = got["day_"].astype(str)
     got = got[got.day_.isin(res["days"])].reset_index(drop=True)
     want = _oracle_daily(table, res["days"])
     assert_pdf_equal(got, want, ["day_"])
+    # exactly once: nothing left to re-state
+    again = refresh_rollups(table, dst)
+    assert again == {"days": [], "weeks": [], "months": [], "restated": []}
     log.unpersist()
