@@ -75,7 +75,8 @@ def close_due_partitions(
     metadata, atomically, and therefore exactly-once per day).
     """
     table.refresh()
-    now = now or dt.datetime.utcnow()
+    # naive-UTC to stay comparable with fromisoformat() day boundaries
+    now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     wm_s = table.watermark(source) if source else table.watermark_any()
     wm = dt.datetime.fromisoformat(wm_s) if wm_s else None
     already = closed_partitions(table)
