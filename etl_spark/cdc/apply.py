@@ -53,18 +53,52 @@ from .dedup import ORDER, lww_dedup, lww_dedup_narrow
 
 # Physical dedup strategy for the MERGE path (see dedup.py for the
 # trade-offs; env override is the A/B lever for scaling harnesses):
+#   auto       — cost-based dispatch on the batch's optimizer size
+#                estimate (for a file-backed batch: its input bytes).
+#                DEFAULT. Small batches take ``agg``; large ones take
+#                ``narrow``. narrow's per-batch FIXED cost (a second scan
+#                job + the winner-broadcast driver round-trip) only pays
+#                for itself once the wide shuffle it avoids is big:
+#                measured on this box, agg wins 1M-event epochs (1.4 vs
+#                1.8 s/epoch) and narrow wins 16M-event epochs (local[8]
+#                12.9 vs 16.8 s, local[32] 9.7 vs 11.0 s). When the size
+#                estimate is unavailable the scale-safe branch (narrow)
+#                is taken.
 #   narrow     — column-pruned winner agg + broadcast join-back: the
 #                batch's wide rows never shuffle by key and never pass
-#                through an aggregation buffer. DEFAULT — measured faster
-#                than the max-struct agg at every thread count (16M-event
-#                epoch, local[8] 12.9 vs 16.8 s, local[32] 9.7 vs 11.0 s).
-#                Assumes per-batch winner sets broadcastable (≤ ~10^7
-#                keys ≈ 400 MB); larger → agg or narrow-sh.
+#                through an aggregation buffer. Assumes per-batch winner
+#                sets broadcastable (≤ ~10^7 keys ≈ 400 MB); larger →
+#                agg or narrow-sh.
 #   agg        — single max-struct hash aggregation (wide buffer, map-side
-#                combine; wins when dup factor per input split is high)
+#                combine; wins when dup factor per input split is high or
+#                the batch is small enough that job count dominates)
 #   narrow-sh  — narrow with a shuffle_hash join-back (winner set too big
 #                to broadcast; shuffles wide rows once, by key)
-DEDUP_STRATEGY = os.environ.get("ETL_SPARK_DEDUP_STRATEGY", "narrow")
+DEDUP_STRATEGY = os.environ.get("ETL_SPARK_DEDUP_STRATEGY", "auto")
+
+# auto crossover: batches whose optimizer size estimate is below this take
+# the agg plan. Calibrated between the measured 1M-event (agg wins, ~45 MB
+# of snappy parquet on the bench fixture) and 16M-event (narrow wins,
+# ~700 MB) epochs — 256 MB ≈ 6M events.
+AUTO_NARROW_MIN_BYTES = int(
+    os.environ.get("ETL_SPARK_DEDUP_AUTO_MIN_MB", "256")
+) * 1024 * 1024
+
+
+def resolve_dedup_strategy(changes: DataFrame, strategy: str | None = None) -> str:
+    """Resolve ``auto`` to a physical strategy via the batch's Catalyst
+    size estimate (exact input bytes for a file-backed batch). Falls back
+    to ``narrow`` — the scale-safe plan — when no estimate is available."""
+    strategy = strategy or DEDUP_STRATEGY
+    if strategy != "auto":
+        return strategy
+    try:
+        est = int(
+            changes._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return "narrow"
+    return "agg" if est < AUTO_NARROW_MIN_BYTES else "narrow"
 
 
 @dataclass
@@ -142,7 +176,7 @@ def apply_batch(
     # fsync.
     obs = Observation(f"apply_{source}_{epoch}")
     gate_cols = gate.observe_cols(row_filter=F.col("op") != "D") if gate else []
-    strategy = dedup_strategy or DEDUP_STRATEGY
+    strategy = resolve_dedup_strategy(changes, dedup_strategy)
     if strategy.startswith("narrow"):
         # batch-global counters observe on the phase-1 NARROW scan, so
         # the broadcast stays at (key, max-order) — the driver round-trip

