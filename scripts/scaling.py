@@ -155,6 +155,14 @@ def main() -> int:
         "understating efficiency. 4→16 keeps both levels unsaturated "
         "and is the cleaner single-box proxy for adding nodes.",
     )
+    ap.add_argument(
+        "--log-dir",
+        default="",
+        help="reuse a pre-generated change log (datagen is deterministic, "
+        "so a reproduction run measures the identical input without "
+        "paying generation again); --events must match its size for the "
+        "reported events/s to be right.",
+    )
     args = ap.parse_args()
     lo, hi = args.levels
     factor = hi / lo
@@ -163,18 +171,19 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
     work = tempfile.mkdtemp(prefix="etl_spark_scaling_")
-    log_dir = os.path.join(work, "log")
+    log_dir = args.log_dir or os.path.join(work, "log")
 
-    from etl_spark.datagen import write_change_log
-    from etl_spark.session import get_spark
+    if not args.log_dir:
+        from etl_spark.datagen import write_change_log
+        from etl_spark.session import get_spark
 
-    spark = get_spark("scaling_gen")
-    write_change_log(
-        spark, log_dir, args.events,
-        n_convs=args.convs or max(200, args.events // 2_000),
-        n_epochs=1, files_per_epoch=128,
-    )
-    spark.stop()
+        spark = get_spark("scaling_gen")
+        write_change_log(
+            spark, log_dir, args.events,
+            n_convs=args.convs or max(200, args.events // 2_000),
+            n_epochs=1, files_per_epoch=128,
+        )
+        spark.stop()
 
     if args.pairs:
         import shutil
