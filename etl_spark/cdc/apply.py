@@ -77,9 +77,9 @@ from .dedup import ORDER, lww_dedup, lww_dedup_narrow
 DEDUP_STRATEGY = os.environ.get("ETL_SPARK_DEDUP_STRATEGY", "auto")
 
 # auto crossover: batches whose optimizer size estimate is below this take
-# the agg plan. Calibrated between the measured 1M-event (agg wins, ~45 MB
-# of snappy parquet on the bench fixture) and 16M-event (narrow wins,
-# ~700 MB) epochs — 256 MB ≈ 6M events.
+# the agg plan. Measured on the bench fixture: agg wins 1M-event (~45 MB
+# snappy parquet) and 4M-event (~180 MB; 2.3 vs 3.6 s) epochs, narrow wins
+# 16M (~700 MB) and 320M — 256 MB sits between the data points.
 AUTO_NARROW_MIN_BYTES = int(
     os.environ.get("ETL_SPARK_DEDUP_AUTO_MIN_MB", "256")
 ) * 1024 * 1024
