@@ -63,3 +63,30 @@ def test_no_row_python_in_registry(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_narrow_dedup_phase1_scan_stays_pruned(spark, tmp_path):
+    """The narrow strategy's whole premise is that phase 1 reads ~5% of
+    the batch bytes: the coalesce added for map-side-combine sizing must
+    not defeat column pruning. Guard the plan: one scan carries exactly
+    (key + order) columns, the full-width scan keeps the payload, and
+    the Coalesce node is present."""
+    import re
+
+    from etl_spark.cdc.dedup import lww_dedup_narrow
+    from etl_spark.datagen import gen_changes
+
+    p = str(tmp_path / "chg")
+    gen_changes(spark, 2_000, n_convs=20, n_epochs=1).drop("epoch").write.parquet(p)
+    plan = _plan(lww_dedup_narrow(spark.read.parquet(p)))
+    # Spark truncates long ReadSchema renderings, so parse per line and
+    # take column names up to the truncation point
+    schemas = []
+    for line in plan.splitlines():
+        m = re.search(r"ReadSchema: struct<(.*)$", line)
+        if m:
+            body = m.group(1).rstrip(">. ")
+            schemas.append({c.split(":")[0] for c in body.split(",") if ":" in c})
+    assert {"conv_id", "turn_idx", "op_ts", "lsn"} in schemas, schemas
+    assert any("text" in s for s in schemas), schemas  # full-width scan intact
+    assert "Coalesce" in plan
