@@ -84,12 +84,54 @@ AUTO_NARROW_MIN_BYTES = int(
     os.environ.get("ETL_SPARK_DEDUP_AUTO_MIN_MB", "256")
 ) * 1024 * 1024
 
+# narrow (broadcast join-back) is only safe while the per-batch winner set
+# fits the executors: keys × ~40 B/winner-row ⇒ 10^7 keys ≈ 400 MB is the
+# documented ceiling (dedup.lww_dedup_narrow). Above the estimate, auto
+# selects narrow-sh (shuffle-hash join-back: narrow build side streams the
+# wide probe side — never OOMs, ~15% slower at the 40M-event point).
+AUTO_BCAST_MAX_KEYS = int(
+    os.environ.get("ETL_SPARK_DEDUP_BCAST_MAX_KEYS", str(10_000_000))
+)
+# bytes-per-change-row prior for turning the Catalyst byte estimate into a
+# row count (bench fixture: 1M-event epochs ≈ 45 MB snappy parquet).
+AUTO_ROW_BYTES_PRIOR = int(os.environ.get("ETL_SPARK_DEDUP_ROW_BYTES", "40"))
 
-def resolve_dedup_strategy(changes: DataFrame, strategy: str | None = None) -> str:
-    """Resolve ``auto`` to a physical strategy via the batch's Catalyst
-    size estimate (exact input bytes for a file-backed batch). Falls back
-    to ``narrow`` — the scale-safe plan — when no estimate is available."""
+VALID_DEDUP_STRATEGIES = frozenset({"auto", "agg", "narrow", "narrow-sh"})
+
+
+def resolve_dedup_strategy(
+    changes: DataFrame,
+    strategy: str | None = None,
+    prior_stats: dict | None = None,
+    min_bytes: int | None = None,
+    max_bcast_keys: int | None = None,
+    row_bytes: int | None = None,
+) -> str:
+    """Resolve ``auto`` to a physical strategy.
+
+    Dispatch inputs:
+      * the batch's Catalyst size estimate (exact input bytes for a
+        file-backed batch) — small batches take ``agg``;
+      * an estimate of the batch's distinct-key (winner) count, deciding
+        ``narrow`` (broadcast join-back) vs ``narrow-sh`` (shuffle-hash):
+        estimated rows = bytes ÷ ``row_bytes`` prior, scaled by the
+        stream's observed keys-per-row ratio from the PREVIOUS committed
+        epoch's lineage (``prior_stats`` = last delta-commit stats with
+        ``winners``/``rows_in``). With no prior evidence the ratio is 1
+        (every row its own key) — the conservative direction: a first
+        giant epoch takes narrow-sh rather than risking an
+        unbroadcastable winner set.
+
+    Unknown strategy strings raise (a typo in ``ETL_SPARK_DEDUP_STRATEGY``
+    must not silently change the physical plan). When no size estimate is
+    available the scale-safe ``narrow-sh`` is taken.
+    """
     strategy = strategy or DEDUP_STRATEGY
+    if strategy not in VALID_DEDUP_STRATEGIES:
+        raise ValueError(
+            f"unknown dedup strategy {strategy!r} — expected one of "
+            f"{sorted(VALID_DEDUP_STRATEGIES)}"
+        )
     if strategy != "auto":
         return strategy
     try:
@@ -97,8 +139,18 @@ def resolve_dedup_strategy(changes: DataFrame, strategy: str | None = None) -> s
             changes._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:
-        return "narrow"
-    return "agg" if est < AUTO_NARROW_MIN_BYTES else "narrow"
+        return "narrow-sh"
+    if est < (AUTO_NARROW_MIN_BYTES if min_bytes is None else min_bytes):
+        return "agg"
+    est_rows = est / (AUTO_ROW_BYTES_PRIOR if row_bytes is None else row_bytes)
+    ratio = 1.0
+    if prior_stats:
+        w, r = prior_stats.get("winners"), prior_stats.get("rows_in")
+        if w and r:
+            ratio = min(1.0, float(w) / float(r))
+    est_keys = est_rows * ratio
+    cap = AUTO_BCAST_MAX_KEYS if max_bcast_keys is None else max_bcast_keys
+    return "narrow" if est_keys <= cap else "narrow-sh"
 
 
 @dataclass
@@ -111,6 +163,7 @@ class ApplyStats:
     dirty_buckets: list[int] = field(default_factory=list)
     schema_changes: list[str] = field(default_factory=list)
     compacted_buckets: list[int] = field(default_factory=list)
+    compaction_deferred: bool = False  # maintenance lost its race twice; next apply retries
     lsn_min: int | None = None
     lsn_max: int | None = None
     op_ts_max: str | None = None
@@ -135,6 +188,7 @@ def apply_batch(
     compact: bool = True,
     gate=None,
     dedup_strategy: str | None = None,
+    alert_sink=None,
 ) -> ApplyStats:
     """Apply one micro-batch of changes. Idempotent per (source, epoch).
 
@@ -145,6 +199,10 @@ def apply_batch(
     reclaimed by vacuum; the epoch stays unfenced, so a corrected retry
     replays it). Optional violations are recorded in stats/lineage and do
     not block. Row-level checks are scoped to non-delete events.
+
+    ``alert_sink`` is this apply's alert destination when the gate carries
+    none of its own — passed per call, never written onto the (possibly
+    shared) gate object.
     """
     t0 = time.time()
     table.refresh()
@@ -176,7 +234,9 @@ def apply_batch(
     # fsync.
     obs = Observation(f"apply_{source}_{epoch}")
     gate_cols = gate.observe_cols(row_filter=F.col("op") != "D") if gate else []
-    strategy = resolve_dedup_strategy(changes, dedup_strategy)
+    strategy = resolve_dedup_strategy(
+        changes, dedup_strategy, prior_stats=table.last_delta_stats(source)
+    )
     if strategy.startswith("narrow"):
         # batch-global counters observe on the phase-1 NARROW scan, so
         # the broadcast stays at (key, max-order) — the driver round-trip
@@ -262,7 +322,9 @@ def apply_batch(
         stats.gate = report.to_dict()
         # route violations to the alert sink BEFORE any raise: mandatory
         # failures alert and block, optional ones alert and proceed
-        gate.emit_alerts(report, {"source": source, "epoch": epoch})
+        gate.emit_alerts(
+            report, {"source": source, "epoch": epoch}, default_sink=alert_sink
+        )
         if not report.ok:
             # block BEFORE the metadata commit: table state unchanged,
             # epoch unfenced, the written delta is an orphan for vacuum
@@ -275,6 +337,7 @@ def apply_batch(
             stats.dirty_buckets,
             stats={
                 "winners": stats.winners,
+                "rows_in": stats.rows_in,
                 "schema_changes": stats.schema_changes,
                 "op_ts_max": stats.op_ts_max,
                 "late_rows": stats.late_rows,
@@ -295,7 +358,9 @@ def apply_batch(
         # conflict the maintenance commit AFTER our data commit already
         # succeeded — that must not surface as an apply failure (the next
         # apply re-triggers compaction anyway). One retry against fresh
-        # state covers the common single-race case.
+        # state covers the common single-race case; if both attempts
+        # conflict the deferral is RECORDED, never raised — the data
+        # commit already happened, so the apply succeeded by definition.
         from ..lake.table import CommitConflictError
 
         for attempt in range(2):
@@ -307,5 +372,7 @@ def apply_batch(
                 break
             except CommitConflictError:
                 table.refresh()
+                if attempt == 1:
+                    stats.compaction_deferred = True
     stats.wall_s = time.time() - t0
     return stats

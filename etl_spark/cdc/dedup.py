@@ -147,6 +147,7 @@ def lww_dedup_narrow(
     extra_aggs: dict[str, "F.Column"] | None = None,
     winners_join: str = "broadcast",
     observe: tuple | None = None,
+    exact_ties: bool = False,
 ) -> DataFrame:
     """One winner per key — two-scan, zero-wide-shuffle strategy.
 
@@ -185,6 +186,22 @@ def lww_dedup_narrow(
     pass ``observe=(Observation, [agg_col, ...])`` instead — the
     aggregates are observed during the phase-1 scan and the broadcast
     stays at ``(key, _win)``, the smallest possible driver round-trip.
+
+    Tie contract (``exact_ties``): the default final collapse is a
+    pure-grouping ``dropDuplicates`` over ALL columns, which only merges
+    bit-identical re-sends. Rows that tie on the full (op_ts, lsn) order
+    but differ in payload are CORRUPT input under the WAL contract (an
+    lsn is a log sequence number — unique per key by construction), and
+    with the default the winners relation then keeps every tied variant
+    (>1 row per key; a read-time LWW fold re-resolves deterministically).
+    ``exact_ties=True`` instead collapses with the same lexicographic
+    max-struct as ``lww_dedup`` — exactly one row per key, byte-equal to
+    the agg strategy even on tied corrupt input — at the cost of a
+    var-length aggregation buffer (SortAggregate) over the winner rows
+    only. Under a ``shuffle_hash`` winners join the join output is
+    already partitioned by key, so the exact collapse reuses that
+    exchange; under ``broadcast`` it adds the same one winner shuffle
+    the default dropDuplicates pays anyway.
     """
     key = key or KEY
     order = order or ORDER
@@ -223,8 +240,20 @@ def lww_dedup_narrow(
         .join(wins, on=list(key), how="inner")
         .where(F.col("_ord") == F.col("_win"))
         .drop("_ord", "_win")
-        .dropDuplicates()  # pure-grouping hash agg over winners only
     )
+    if exact_ties:
+        # same winner as lww_dedup on (op_ts, lsn) ties: lexicographic
+        # max over (order, payload) — input is already ~1 row per key.
+        # extra_aggs columns are key-constant (joined from phase 1), so
+        # riding the struct can't change the winner.
+        non_key = order + [c for c in payload if c not in order] + extras
+        out = (
+            out.groupBy(*key)
+            .agg(F.max(F.struct(*[F.col(c) for c in non_key])).alias("_w"))
+            .select(*key, *[F.col(f"_w.{c}").alias(c) for c in non_key])
+        )
+    else:
+        out = out.dropDuplicates()  # pure-grouping hash agg over winners only
     return out.select(
         *key,
         *order,

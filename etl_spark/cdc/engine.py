@@ -103,14 +103,15 @@ class CdcEngine:
         self.lineage = LineageLog(os.path.join(table_path, "_lineage", "lineage.jsonl"))
         self.alerts_path = os.path.join(table_path, "_lineage", "alerts.jsonl")
 
-    def _attach_alert_sink(self, gate) -> None:
-        """Default alert destination for gate violations: a lineage-style
-        JSONL table next to the lineage log (only when the caller didn't
-        wire their own sink)."""
-        if gate is not None and gate.sink is None:
-            from ..quality import JsonlAlertSink
+    def default_alert_sink(self):
+        """Default alert destination for gate/SLO violations: a
+        lineage-style JSONL table next to this table's lineage log. Passed
+        PER APPLY (never written onto the caller's gate object, which may
+        be shared across engines — a shared gate must not route one
+        table's alerts into another's alerts file)."""
+        from ..quality import JsonlAlertSink
 
-            gate.sink = JsonlAlertSink(self.alerts_path)
+        return JsonlAlertSink(self.alerts_path)
 
     # -- batch replay ---------------------------------------------------------
 
@@ -129,6 +130,7 @@ class CdcEngine:
         source: str = "default",
         stop_after: int | None = None,
         gate=None,
+        lag_slo=None,
     ) -> list[ApplyStats]:
         """Apply every epoch directory in order; skip already-committed ones.
 
@@ -138,9 +140,12 @@ class CdcEngine:
         ``gate`` (quality.QualityGate) guards every epoch commit; a
         mandatory violation stops the replay with the failing epoch
         unfenced (reference: mandatory test failure aborts the DAG run,
-        plugins/operators/test.py:45-64).
+        plugins/operators/test.py:45-64). ``lag_slo`` (quality.LagSlo)
+        checks each commit's ingest lag against a freshness deadline —
+        optional breaches alert and proceed, a mandatory breach alerts and
+        stops the replay AFTER the commit (the reference's DeadlineSensor).
         """
-        self._attach_alert_sink(gate)
+        sink = self.default_alert_sink()
         results: list[ApplyStats] = []
         applied = 0
         for epoch, path in self.list_epochs(change_log_dir):
@@ -151,11 +156,13 @@ class CdcEngine:
             changes = self.spark.read.parquet(path)
             stats = apply_batch(
                 self.table, changes, epoch, source=source, gate=gate,
-                dedup_strategy=self.dedup_strategy,
+                dedup_strategy=self.dedup_strategy, alert_sink=sink,
             )
             self._record(source, stats)
             results.append(stats)
             applied += 1
+            if lag_slo is not None:
+                lag_slo.check(stats, sink=sink, context={"source": source, "epoch": epoch})
         return results
 
     def _record(self, source: str, stats: ApplyStats) -> None:
@@ -194,6 +201,7 @@ class CdcEngine:
         schema: T.StructType | None = None,
         gate=None,
         wire_format: str = "parquet",
+        lag_slo=None,
     ):
         """Tail the change log as a Structured Streaming file source.
 
@@ -219,7 +227,7 @@ class CdcEngine:
         Call ``.processAllAvailable()`` / ``awaitTermination`` on the result.
         """
         source = fencing_namespace(checkpoint_dir, source)
-        self._attach_alert_sink(gate)
+        sink = self.default_alert_sink()
 
         if wire_format == "debezium":
             from .envelope import parse_debezium
@@ -246,9 +254,13 @@ class CdcEngine:
         def _apply(batch_df, batch_id: int):
             stats = apply_batch(
                 self.table, batch_df, int(batch_id), source=source, gate=gate,
-                dedup_strategy=self.dedup_strategy,
+                dedup_strategy=self.dedup_strategy, alert_sink=sink,
             )
             self._record(source, stats)
+            if lag_slo is not None:
+                lag_slo.check(
+                    stats, sink=sink, context={"source": source, "epoch": int(batch_id)}
+                )
 
         return (
             stream_df.writeStream.foreachBatch(_apply)

@@ -84,8 +84,24 @@ def route_batch(
     """Apply one micro-batch to every destination table (see module doc
     for the two routing modes). Returns per-destination ApplyStats
     (skipped=True where the epoch was already fenced)."""
+    import os
+
     stats: dict[str, ApplyStats] = {}
     known = list(tables)
+    if rest is not None:
+        # a routed table sharing the rest table's path would be applied
+        # TWICE under the same (source, epoch) — the second apply is
+        # epoch-fenced into a silent skip, dropping the rest rows. Refuse.
+        rest_path = os.path.normpath(rest.path)
+        clash = [v for v, t in tables.items()
+                 if os.path.normpath(t.path) == rest_path]
+        if clash:
+            raise ValueError(
+                f"route value(s) {clash!r} resolve to the rest table's path "
+                f"{rest_path!r} — rename the rest table (rest_name=) or the "
+                f"route value; sharing a destination would epoch-fence the "
+                f"rest rows away"
+            )
     for val, table in sorted(tables.items()):
         match = F.col(route_col) == F.lit(val)
         stats[val] = apply_batch(
@@ -94,13 +110,14 @@ def route_batch(
         )
     if rest is not None:
         # rest owns unknown AND NULL route values (a NULL on a non-delete
-        # is still data — it must land somewhere)
+        # is still data — it must land somewhere); stats keyed by the rest
+        # table's ACTUAL name, not a hardcoded label
         match = (
             F.coalesce(~F.col(route_col).isin(known), F.lit(True))
             if known
             else F.lit(True)
         )
-        stats["__rest__"] = apply_batch(
+        stats[os.path.basename(rest_path)] = apply_batch(
             rest, _routed_view(changes, route_col, match, stable_routes),
             epoch, source=source,
         )
@@ -136,12 +153,18 @@ def _ensure_tables(
     tables: dict[str, LakeTable],
     vals: list[str],
     num_buckets: int,
+    rest_name: str | None = None,
 ) -> None:
     import os
 
     from .engine import CdcEngine
 
     for val in vals:
+        if rest_name is not None and val == rest_name:
+            raise ValueError(
+                f"route value {val!r} collides with the rest table name — "
+                f"pass a different rest_name= or clean the value upstream"
+            )
         if val not in tables:
             tables[val] = CdcEngine(
                 spark, os.path.join(base_path, val), num_buckets=num_buckets
@@ -207,7 +230,7 @@ def route_replay(
     for epoch, path in CdcEngine.list_epochs(change_log_dir):
         changes = spark.read.parquet(path)
         vals, null_nondelete = discover_routes(changes, route_col)
-        _ensure_tables(spark, base_path, tables, vals, num_buckets)
+        _ensure_tables(spark, base_path, tables, vals, num_buckets, rest_name)
         rest = _ensure_rest(
             spark, base_path, rest, null_nondelete, rest_name, num_buckets
         )
@@ -257,7 +280,7 @@ def stream_route(
 
     def _apply(batch_df, batch_id: int):
         vals, null_nondelete = discover_routes(batch_df, route_col)
-        _ensure_tables(spark, base_path, tables, vals, num_buckets)
+        _ensure_tables(spark, base_path, tables, vals, num_buckets, rest_name)
         rest_box[0] = _ensure_rest(
             spark, base_path, rest_box[0], null_nondelete, rest_name, num_buckets
         )

@@ -259,6 +259,16 @@ class LakeTable:
     def committed_epoch(self, source: str = "default") -> int:
         return int(self._meta["committed_epochs"].get(source, -1))
 
+    def last_delta_stats(self, source: str = "default") -> dict | None:
+        """Stats dict of this source's most recent delta commit (winners,
+        rows_in, ...) — the stream's per-epoch evidence that the dedup
+        dispatch uses to estimate the next batch's distinct-key count.
+        Driver-side metadata scan, newest first."""
+        for snap in reversed(self._meta["snapshots"]):
+            if snap.get("kind") == "delta" and snap.get("source") == source:
+                return snap.get("stats") or None
+        return None
+
     def watermark(self, source: str = "default") -> str | None:
         """High-water mark: max op_ts committed for this source (ISO
         string, monotone). Events below it in later batches are LATE —

@@ -256,6 +256,65 @@ class JsonlAlertSink(AlertSink):
         return spark.createDataFrame(self.rows())
 
 
+class SloViolation(RuntimeError):
+    """An engine-level service-level objective was breached (e.g. ingest
+    lag over its deadline). Raised AFTER the offending commit — the data
+    is durable; what failed is the freshness promise, so a mandatory SLO
+    stops the drive loop for operator attention rather than undoing work."""
+
+    def __init__(self, check: str, measured: float, threshold: float, context: str = ""):
+        self.check, self.measured, self.threshold = check, measured, threshold
+        super().__init__(
+            f"SLO {check} breached{f' ({context})' if context else ''}: "
+            f"measured {measured} > {threshold}"
+        )
+
+
+@dataclass
+class LagSlo:
+    """Ingest-freshness deadline over ``ApplyStats.ingest_lag_s`` (wall
+    clock at commit minus the newest applied op_ts) — the engine analogue
+    of the reference's 8-hour DeadlineSensor on the user_history DAG
+    (/root/reference/etl/dags/user_history/DAG_user_history.py:98-105,
+    plugins/operators/deadline.py:29-38).
+
+    ``level=OPTIONAL`` (default): a breach emits a severity-tagged alert
+    row and the drive loop proceeds. ``level=MANDATORY``: the alert is
+    emitted AND ``SloViolation`` raises after the commit — the epoch's
+    data is durable; the loop stops so an operator sees the stall instead
+    of the table silently running hours behind its stream head.
+    """
+
+    max_lag_s: float
+    level: str = OPTIONAL
+    name: str = "ingest_lag_slo"
+
+    def check(self, stats, sink: AlertSink | None = None,
+              context: dict | None = None) -> bool:
+        """Returns True when the SLO holds. Emits/raises on breach."""
+        lag = getattr(stats, "ingest_lag_s", None)
+        if lag is None or lag <= self.max_lag_s:
+            return True
+        if sink is not None:
+            sink.emit([
+                {
+                    "severity": self.level,
+                    "check": self.name,
+                    "measured": lag,
+                    "op": "<=",
+                    "threshold": self.max_lag_s,
+                    "description": "ingest lag over SLO deadline",
+                    **(context or {}),
+                }
+            ])
+        if self.level == MANDATORY:
+            raise SloViolation(
+                self.name, lag, self.max_lag_s,
+                context=", ".join(f"{k}={v}" for k, v in (context or {}).items()),
+            )
+        return False
+
+
 class GateFailure(RuntimeError):
     """A mandatory check failed; the stage's commit was blocked."""
 
@@ -282,9 +341,19 @@ class QualityGate:
         self.name = name
         self.sink = sink
 
-    def emit_alerts(self, report: GateReport, context: dict | None = None) -> None:
-        if self.sink is not None:
-            self.sink.emit(report.alert_rows({"gate": self.name, **(context or {})}))
+    def emit_alerts(
+        self,
+        report: GateReport,
+        context: dict | None = None,
+        default_sink: "AlertSink | None" = None,
+    ) -> None:
+        """Route failed-check alerts. ``default_sink`` is the caller's
+        per-invocation destination, used only when the gate has no sink of
+        its own — so a gate shared across engines/tables never gets one
+        engine's sink baked in."""
+        sink = self.sink if self.sink is not None else default_sink
+        if sink is not None:
+            sink.emit(report.alert_rows({"gate": self.name, **(context or {})}))
 
     def observe_cols(self, row_filter: Column | None = None) -> list[Column]:
         return [c.observe_col(row_filter) for c in self.checks]

@@ -276,3 +276,122 @@ def test_auto_strategy_dispatch(spark, tmp_path, monkeypatch):
     # same batch, crossover lowered beneath its size -> the scale plan
     monkeypatch.setattr(ap, "AUTO_NARROW_MIN_BYTES", 1)
     assert ap.resolve_dedup_strategy(batch, "auto") == "narrow"
+
+
+def test_auto_dispatch_guards_unbroadcastable_winners(spark, tmp_path, monkeypatch):
+    """auto must NOT force-broadcast an unbroadcastable winner set: when
+    the estimated distinct-key count exceeds the broadcast cap it selects
+    narrow-sh, and prior-epoch lineage evidence (winners/rows_in) scales
+    the estimate back down for high-dup streams."""
+    from etl_spark.cdc import apply as ap
+
+    p = str(tmp_path / "batch")
+    spark.range(1000).selectExpr("id as conv_id").write.parquet(p)
+    batch = spark.read.parquet(p)
+    monkeypatch.setattr(ap, "AUTO_NARROW_MIN_BYTES", 1)
+    # bytes/row prior says ~rows keys; cap of 10 keys -> shuffle-hash
+    assert ap.resolve_dedup_strategy(batch, "auto", max_bcast_keys=10) == "narrow-sh"
+    # prior epoch observed 1 winner per 1000 rows -> estimate shrinks -> broadcast
+    prior = {"winners": 1, "rows_in": 1000}
+    assert (
+        ap.resolve_dedup_strategy(batch, "auto", prior_stats=prior, max_bcast_keys=10)
+        == "narrow"
+    )
+    # misconfiguration fails loudly instead of silently changing the plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="narow"):
+        ap.resolve_dedup_strategy(batch, "narow")
+    with _pytest.raises(ValueError, match="narrow-bcast"):
+        ap.resolve_dedup_strategy(batch, "narrow-bcast")
+
+
+def test_auto_narrow_sh_replay_byte_equal(spark, tmp_path, monkeypatch):
+    """End-to-end: a high-key-count batch under `auto` dispatches to
+    narrow-sh automatically and the final table state is byte-equal to
+    the agg strategy's."""
+    from etl_spark.cdc import apply as ap
+    from etl_spark.datagen import write_change_log
+
+    log = str(tmp_path / "log")
+    write_change_log(spark, log, 6_000, n_convs=30, n_epochs=2, files_per_epoch=2)
+    a = CdcEngine(spark, str(tmp_path / "agg"), num_buckets=4, dedup_strategy="agg")
+    a.replay(log)
+    # force every batch over both thresholds: auto must pick narrow-sh
+    monkeypatch.setattr(ap, "AUTO_NARROW_MIN_BYTES", 1)
+    monkeypatch.setattr(ap, "AUTO_BCAST_MAX_KEYS", 1)
+    seen = []
+    orig = ap.resolve_dedup_strategy
+
+    def spy(changes, strategy=None, **kw):
+        out = orig(changes, strategy, **kw)
+        seen.append(out)
+        return out
+
+    monkeypatch.setattr(ap, "resolve_dedup_strategy", spy)
+    b = CdcEngine(spark, str(tmp_path / "auto"), num_buckets=4)
+    b.replay(log)
+    assert seen and all(s == "narrow-sh" for s in seen)
+    assert_pdf_equal(
+        a.table.snapshot_df().toPandas(),
+        b.table.snapshot_df().toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+    # the commit recorded the evidence the next epoch's dispatch reads
+    st = b.table.last_delta_stats()
+    assert st and st["rows_in"] > 0 and st["winners"] > 0
+
+
+def test_compaction_conflict_never_fails_a_committed_apply(spark, tmp_path, monkeypatch):
+    """Best-effort compaction losing its metadata race (twice) must not
+    surface as an apply failure — the data commit already succeeded; the
+    deferral is recorded and the next apply re-triggers compaction."""
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.lake.table import CommitConflictError, LakeTable
+
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=2,
+                    compact_threshold=1)
+    changes = gen_changes(spark, 1_000, n_convs=10, n_epochs=1).drop("epoch")
+
+    def boom(self, buckets=None):
+        raise CommitConflictError("racing maintenance writer")
+
+    monkeypatch.setattr(LakeTable, "compact", boom)
+    stats = apply_batch(eng.table, changes, epoch=0)
+    assert stats.snapshot_id is not None and not stats.skipped
+    assert stats.compaction_deferred and stats.compacted_buckets == []
+    monkeypatch.undo()
+    # next apply retries the deferred maintenance and succeeds
+    more = gen_changes(spark, 1_000, n_convs=10, n_epochs=1).drop("epoch")
+    s2 = apply_batch(eng.table, more, epoch=1)
+    assert not s2.compaction_deferred and s2.compacted_buckets
+
+
+def test_narrow_exact_ties_one_row_per_key(spark):
+    """(op_ts, lsn) ties with DIFFERING payloads (corrupt input under the
+    WAL contract): the default narrow collapse keeps the tied variants
+    (documented), exact_ties=True picks the same single lexicographic-max
+    winner as the agg strategy."""
+    import pyspark.sql.types as T
+
+    from etl_spark.cdc.dedup import lww_dedup_narrow
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("op_ts", T.TimestampType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    from datetime import datetime
+
+    ts = datetime(2025, 1, 1)
+    rows = [("c1", 0, "payload-a", ts, 7), ("c1", 0, "payload-b", ts, 7),
+            ("c2", 1, "solo", ts, 8)]
+    changes = spark.createDataFrame(rows, schema)
+    default = lww_dedup_narrow(changes).toPandas()
+    assert len(default) == 3  # tied variants both survive (documented)
+    exact = lww_dedup_narrow(changes, exact_ties=True)
+    agg = lww_dedup(changes)
+    assert_pdf_equal(exact.toPandas(), agg.toPandas(), ["conv_id", "turn_idx"])
+    assert exact.count() == 2

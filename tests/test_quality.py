@@ -148,6 +148,67 @@ def test_optional_violation_emits_alert_and_commits(spark, tmp_path):
     log.unpersist()
 
 
+def test_shared_gate_not_mutated_across_engines(spark, tmp_path):
+    """A gate shared across two engines/tables must not get the first
+    engine's sink baked in: each engine's violations land in ITS OWN
+    alerts file, and the gate object keeps sink=None throughout."""
+    from etl_spark.quality import JsonlAlertSink, fraction_check
+
+    log = gen_changes(spark, 2_000, n_convs=20, n_epochs=2).cache()
+    gate = QualityGate(
+        [fraction_check("turn_cap_opt", F.col("turn_idx") > 0, 0.0,
+                        level=OPTIONAL)]
+    )
+    eng_a = CdcEngine(spark, str(tmp_path / "a"), num_buckets=2)
+    eng_b = CdcEngine(spark, str(tmp_path / "b"), num_buckets=2)
+    eng_a.replay(str(_write_log(spark, log, tmp_path)), gate=gate)
+    eng_b.replay(str(_write_log(spark, log, tmp_path)), gate=gate)
+    assert gate.sink is None
+    assert len(JsonlAlertSink(eng_a.alerts_path).rows()) == 2
+    assert len(JsonlAlertSink(eng_b.alerts_path).rows()) == 2
+    log.unpersist()
+
+
+def test_ingest_lag_slo_alerts_and_blocks(spark, tmp_path):
+    """Freshness SLO wire (reference DeadlineSensor analogue): a stale
+    stream breaches the lag deadline — optional level emits a
+    severity-tagged alert row while every commit proceeds; mandatory
+    level stops the replay AFTER the breaching commit, data durable."""
+    from etl_spark.quality import JsonlAlertSink, LagSlo, SloViolation
+
+    log = gen_changes(spark, 2_000, n_convs=20, n_epochs=2).cache()
+    # fixture op_ts are historical (2025) -> ingest lag is months; any
+    # sane deadline is breached
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=2)
+    stats = eng.replay(
+        str(_write_log(spark, log, tmp_path)),
+        lag_slo=LagSlo(max_lag_s=8 * 3600, level=OPTIONAL),
+    )
+    assert all(s.snapshot_id is not None for s in stats)  # commits proceeded
+    alerts = JsonlAlertSink(eng.alerts_path).rows()
+    assert len(alerts) == 2  # one breach per epoch
+    assert alerts[0]["severity"] == OPTIONAL
+    assert alerts[0]["check"] == "ingest_lag_slo"
+    assert alerts[0]["measured"] > alerts[0]["threshold"] == 8 * 3600
+
+    # mandatory: replay stops at the FIRST breaching epoch, its commit kept
+    eng2 = CdcEngine(spark, str(tmp_path / "tbl2"), num_buckets=2)
+    with pytest.raises(SloViolation):
+        eng2.replay(
+            str(_write_log(spark, log, tmp_path)),
+            lag_slo=LagSlo(max_lag_s=8 * 3600, level="mandatory"),
+        )
+    assert eng2.table.committed_epoch() == 0  # epoch 0 durable, epoch 1 never ran
+    rows = JsonlAlertSink(eng2.alerts_path).rows()
+    assert len(rows) == 1 and rows[0]["severity"] == "mandatory"
+    # a generous deadline passes quietly
+    eng3 = CdcEngine(spark, str(tmp_path / "tbl3"), num_buckets=2)
+    eng3.replay(str(_write_log(spark, log, tmp_path)),
+                lag_slo=LagSlo(max_lag_s=10**10))
+    assert JsonlAlertSink(eng3.alerts_path).rows() == []
+    log.unpersist()
+
+
 def _write_log(spark, log, tmp_path, name="log"):
     import os
 

@@ -228,6 +228,40 @@ def test_route_replay_null_route_rows_land_in_rest(spark, tmp_path):
     assert union.exceptAll(spine_df).count() == 0
 
 
+def test_route_value_colliding_with_rest_name_rejected(spark, tmp_path):
+    """A literal route value equal to the rest table's name would create
+    two handles on the same path — the second apply for the (source,
+    epoch) epoch-fences into a silent skip and the rest rows vanish. The
+    router must refuse instead, and a custom rest name keys the stats by
+    its actual name."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_spark.cdc.router import route_batch, route_replay
+
+    changes = gen_changes(spark, 1_000, n_convs=10, n_epochs=1).drop("epoch")
+    # a) discovery path: route value literally equal to rest_name
+    bad = changes.withColumn("role", F.lit("overflow"))
+    log = str(tmp_path / "log")
+    bad.write.parquet(os.path.join(log, "epoch=00000"))
+    with _pytest.raises(ValueError, match="collides with the rest table name"):
+        list(route_replay(spark, log, str(tmp_path / "routed"),
+                          route_col="role", num_buckets=2, rest_name="overflow"))
+
+    # b) direct route_batch with clashing table handles refuses too
+    t = CdcEngine(spark, str(tmp_path / "t" / "user"), num_buckets=2).table
+    rest_clash = CdcEngine(spark, str(tmp_path / "t" / "user"), num_buckets=2).table
+    with _pytest.raises(ValueError, match="rest table's path"):
+        route_batch({"user": t}, changes, 0, route_col="role", rest=rest_clash)
+
+    # c) a custom-named rest table keys its stats by the ACTUAL name
+    dest = CdcEngine(spark, str(tmp_path / "r" / "user"), num_buckets=2).table
+    rest = CdcEngine(spark, str(tmp_path / "r" / "overflow"), num_buckets=2).table
+    stats = route_batch({"user": dest}, changes, 0, route_col="role", rest=rest)
+    assert set(stats) == {"user", "overflow"}
+
+
 def test_route_replay_no_rest_fails_loudly(spark, tmp_path):
     """rest_name=None + NULL-route non-delete rows: raise, don't drop."""
     import os
