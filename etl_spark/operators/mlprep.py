@@ -448,12 +448,20 @@ def boilerplate_ngrams(
          fewer shuffle bytes at transcript-scale corpora). A 64-bit
          collision can only MERGE two grams' counts, so the filter is a
          superset of the true boilerplate set — never a miss;
-      2. survivors re-attach their text via a hashed semi-join against a
-         second explode of the corpus (recompute, no wide shuffle), and
-         the exact stats (distinct docs, occurrences, min doc) are then
+      2. survivors re-attach their text via a hashed semi-join against
+         the SAME exploded relation (persisted — see below), and the
+         exact stats (distinct docs, occurrences, min doc) are then
          computed per gram TEXT over surviving rows only — boilerplate
          is rare, so this final text-keyed shuffle is tiny, and the
          HAVING re-check makes the result collision-exact.
+
+    The exploded (doc_id, gram) relation feeds BOTH branches (the hashed
+    candidate count and the survivor re-attach); without a barrier each
+    branch re-tokenizes and re-slices every document — measured +46% at
+    sf0.1. It is persisted (MEMORY_AND_DISK) exactly like
+    ``bucket_pairs``: expensive to recompute (per-row transform over the
+    whole corpus), lineage kept so executor loss recomputes, blocks age
+    out via LRU.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     grams = F.when(
@@ -466,7 +474,7 @@ def boilerplate_ngrams(
     # output column named 'gram' so it leads the name-sorted column order
     # (the correctness gate sorts rows by the first name-sorted columns;
     # the counts alone are heavily tied, the gram text is unique)
-    exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
+    exploded = docs.select("doc_id", F.explode(grams).alias("gram")).persist()
     cand = (
         exploded.groupBy(F.xxhash64("gram").alias("_gh"))
         .agg(F.count_distinct("doc_id").alias("_nd"))
