@@ -63,6 +63,9 @@ from .schema import TableSchema, align, project_written
 META_DIR = "_meta"
 HINT = "version-hint.text"
 
+# distinguishes "cached None" (stats unavailable) from "not cached yet"
+_MISSING = object()
+
 # Engine-internal columns stored alongside the payload in every data file.
 INTERNAL_COLS = ["_op_ts", "_lsn", "_tombstone", "_bucket"]
 _INTERNAL_TYPES = {
@@ -115,6 +118,9 @@ class LakeTable:
         # already exists raises ConcurrentCommitError) but we fail earlier
         # with a clear message.
         self._pinned = at_version is not None
+        # footer-stats cache: data dirs are immutable (uuid-suffixed per
+        # write attempt), so stats never need re-reading; keyed by rel dir
+        self._ts_stats_cache: dict[str, dict | None] = {}
         self._meta = self._load_meta(at_version)
 
     # -- creation / metadata ------------------------------------------------
@@ -313,7 +319,59 @@ class LakeTable:
         most num_buckets footers. A multi-executor deployment at larger
         file counts would lift this into tasks (Iceberg collects the same
         stats in the writer); the metadata shape is identical either way.
+
+        Results are cached per directory (data directories are immutable
+        — every write attempt targets a fresh uuid-suffixed path, see
+        ``new_data_rel``) so a rebased commit retry never re-reads
+        footers, and ``_prefetch_ts_stats`` can warm the cache for a whole
+        commit's leaves with a thread pool instead of one-at-a-time serial
+        reads (pyarrow footer parsing releases the GIL).
         """
+        cached = self._ts_stats_cache.get(rel_dir, _MISSING)
+        if cached is not _MISSING:
+            return cached
+        out = self._dir_ts_stats_uncached(rel_dir)
+        self._ts_stats_cache[rel_dir] = out
+        return out
+
+    def _prefetch_ts_stats(self, leaf_dirs: list[str]) -> None:
+        """Warm ``_ts_stats_cache`` for many leaves concurrently. Footer
+        reads are independent small-file I/O + GIL-releasing parquet
+        metadata parses — a thread pool turns a per-commit serial
+        O(buckets × days) driver stall into one parallel round."""
+        todo = [d for d in leaf_dirs if d not in self._ts_stats_cache]
+        if len(todo) <= 1:
+            for d in todo:
+                self._dir_ts_stats(d)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(todo))) as pool:
+            for d, st in zip(todo, pool.map(self._dir_ts_stats_uncached, todo)):
+                self._ts_stats_cache[d] = st
+
+    def _prefetch_commit_stats(self, rel_path: str, buckets: list) -> None:
+        """Enumerate every leaf a commit will reference across ALL its
+        buckets and warm the footer-stats cache in one thread-pool round —
+        the per-bucket loop in the commit builders then hits cache only."""
+        leaves: list[str] = []
+        for b in buckets:
+            brel = f"{rel_path}/_bucket={int(b)}"
+            try:
+                days = [n for n in os.listdir(os.path.join(self.path, brel))
+                        if n.startswith("_day=")]
+            except FileNotFoundError:
+                continue  # empty partition: Spark wrote no dir
+            if days:
+                leaves.extend(
+                    f"{brel}/{d}" for d in days
+                    if not d.endswith("__HIVE_DEFAULT_PARTITION__")
+                )
+            else:
+                leaves.append(brel)
+        self._prefetch_ts_stats(leaves)
+
+    def _dir_ts_stats_uncached(self, rel_dir: str) -> dict | None:
         col = self.stats_col
         if col is None:
             return None
@@ -763,6 +821,10 @@ class LakeTable:
         brel = f"{rel_path}/_bucket={int(bucket)}"
         bdir = os.path.join(self.path, brel)
         days = sorted(n for n in os.listdir(bdir) if n.startswith("_day="))
+        self._prefetch_ts_stats(
+            [f"{brel}/{d}" for d in days if not d.endswith("__HIVE_DEFAULT_PARTITION__")]
+            if days else [brel]
+        )
         if not days:
             return [{"path": brel, "schema_version": schema_version,
                      "ts_stats": self._dir_ts_stats(brel)}]
@@ -831,6 +893,7 @@ class LakeTable:
     ) -> int:
         meta = json.loads(json.dumps(self._meta))
         sid = meta["current_snapshot_id"] + 1
+        self._prefetch_commit_stats(delta_rel_path, dirty_buckets)
         for b in dirty_buckets:
             bdir = os.path.join(self.path, delta_rel_path, f"_bucket={int(b)}")
             if not os.path.isdir(bdir):
@@ -970,6 +1033,7 @@ class LakeTable:
     ) -> int:
         meta = json.loads(json.dumps(self._meta))
         sid = meta["current_snapshot_id"] + 1
+        self._prefetch_commit_stats(rel_path, buckets)
         for b in buckets:
             bdir = os.path.join(self.path, rel_path, f"_bucket={int(b)}")
             # Spark writes NO directory for an empty partition — a bucket

@@ -1,65 +1,29 @@
-"""Commit-protocol backend (lake/metastore.py): the version-reservation
-race against both the POSIX backend and the in-memory conditional-PUT
-fake, plus LakeTable running entirely on the fake store."""
-
-import threading
+"""Commit-protocol backend (lake/metastore.py): both shipped backends
+run through the full conformance contract
+(lake/metastore_conformance.py), plus LakeTable running entirely on the
+in-memory conditional-PUT fake — no direct filesystem metadata in the
+commit path."""
 
 import pytest
 
 from etl_spark.lake.metastore import (
-    ConcurrentCommitError,
     InMemoryMetadataStore,
     PosixMetadataStore,
 )
+from etl_spark.lake.metastore_conformance import MetadataStoreConformance
 
 
-@pytest.mark.parametrize("make_store", [
-    lambda tmp: InMemoryMetadataStore(),
-    lambda tmp: PosixMetadataStore(str(tmp / "meta")),
-], ids=["fake", "posix"])
-def test_version_reservation_race(tmp_path, make_store):
-    """N racing writers publish the same version: exactly ONE wins, the
-    rest get ConcurrentCommitError, and the stored payload is the
-    winner's — the single primitive exactly-once is built on."""
-    store = make_store(tmp_path)
-    n = 32
-    results = [None] * n
-    barrier = threading.Barrier(n)
+class TestPosixStoreConformance(MetadataStoreConformance):
+    def make_store(self, tmp_path):
+        # fresh subdir per call — conformance methods may build >1 store
+        import uuid
 
-    def attempt(i):
-        barrier.wait()
-        try:
-            store.publish_version(7, f"payload-{i}")
-            results[i] = "won"
-        except ConcurrentCommitError:
-            results[i] = "lost"
-
-    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(n)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    assert results.count("won") == 1
-    winner = results.index("won")
-    assert store.read_version(7) == f"payload-{winner}"
-    assert store.list_versions() == [7]
+        return PosixMetadataStore(str(tmp_path / f"meta-{uuid.uuid4().hex[:8]}"))
 
 
-def test_store_roundtrip(tmp_path):
-    for store in (InMemoryMetadataStore(), PosixMetadataStore(str(tmp_path / "m"))):
-        assert store.read_hint() is None
-        store.publish_version(0, '{"v": 0}')
-        store.write_hint(0)
-        assert store.read_hint() == 0
-        with pytest.raises(ConcurrentCommitError):
-            store.publish_version(0, "other")
-        with pytest.raises(FileNotFoundError):
-            store.read_version(5)
-        store.publish_version(1, '{"v": 1}')
-        store.write_hint(1)
-        assert store.list_versions() == [0, 1]
-        store.delete_version(0)
-        assert store.list_versions() == [1]
+class TestInMemoryStoreConformance(MetadataStoreConformance):
+    def make_store(self, tmp_path):
+        return InMemoryMetadataStore()
 
 
 def test_laketable_on_fake_store(spark, tmp_path):
