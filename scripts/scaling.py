@@ -39,6 +39,7 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 cpus, log_dir, work, reps = int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4])
 mode = sys.argv[5] if len(sys.argv) > 5 else "threads"
+warm_skip = int(sys.argv[6]) if len(sys.argv) > 6 else 2
 if mode == "cluster":
     # N vs 4N EXECUTORS (separate JVMs, own heap/GC) — the north rule's
     # actual deployment shape. Per-executor resources held constant
@@ -82,11 +83,12 @@ for rep in range(reps):
     # fill /tmp and shift page-cache/writeback pressure onto later reps
     shutil.rmtree(path, ignore_errors=True)
 runs_sorted = sorted(runs, key=lambda r: r["wall_s"])
-# warm statistics: the first two reps are JIT/codegen warm-up (measured:
-# rep walls like 205 -> 69 -> 15 s at 32 threads) — a long-running ingest
-# never pays them, so they are excluded from the warm_* stats when enough
-# reps exist to afford it.
-warm = runs[2:] if reps >= 4 else runs
+# warm statistics: the first warm_skip reps are JIT/codegen warm-up
+# (measured: rep walls like 205 -> 69 -> 15 s at 32 threads) — a
+# long-running ingest never pays them, so they are excluded from the
+# warm_* stats when enough reps exist to afford it. The round-4 declared
+# method uses reps=8, warm_skip=3 (warm = reps 3-7, 0-indexed).
+warm = runs[warm_skip:] if reps >= warm_skip + 2 else runs
 warm_sorted = sorted(warm, key=lambda r: r["wall_s"])
 print(json.dumps({{"cpus": cpus, "mode": mode, "events": n, "best": runs_sorted[0],
                    "median": runs_sorted[len(runs_sorted)//2],
@@ -97,11 +99,13 @@ print(json.dumps({{"cpus": cpus, "mode": mode, "events": n, "best": runs_sorted[
 
 
 def run_level(
-    repo: str, cpus: int, log_dir: str, work: str, reps: int, mode: str = "threads"
+    repo: str, cpus: int, log_dir: str, work: str, reps: int, mode: str = "threads",
+    warm_skip: int = 2,
 ) -> dict:
     script = CHILD.format(repo=repo)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), log_dir, work, str(reps), mode],
+        [sys.executable, "-c", script, str(cpus), log_dir, work, str(reps), mode,
+         str(warm_skip)],
         capture_output=True, text=True, timeout=3600,
     )
     if out.returncode != 0:
@@ -122,6 +126,14 @@ def main() -> int:
         "narrow dedup's broadcast (∝ keys) must not grow with the epoch.",
     )
     ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument(
+        "--warm-skip",
+        type=int,
+        default=2,
+        help="number of leading reps excluded from warm_* stats (JIT/codegen "
+        "warm-up). The round-4 declared method is --reps 8 --warm-skip 3 "
+        "(warm = reps 3-7).",
+    )
     ap.add_argument(
         "--pairs",
         type=int,
@@ -213,7 +225,7 @@ def main() -> int:
         return 0
 
     results = {
-        cpus: run_level(repo, cpus, log_dir, work, args.reps, mode)
+        cpus: run_level(repo, cpus, log_dir, work, args.reps, mode, args.warm_skip)
         for cpus in (lo, hi)
     }
 
