@@ -766,7 +766,8 @@ class LakeTable:
         return f"data/{kind}-{self.current_snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
 
     def write_files(self, df: DataFrame, rel: str,
-                    sort_cols: list[str] | None = None) -> str:
+                    sort_cols: list[str] | None = None,
+                    pre_partitioned: bool = False) -> str:
         """Write one file set (delta or base), partitioned by
         ``(_bucket, _day)`` — the key dimension for co-located upserts and
         the time dimension for window pruning (the reference's
@@ -794,7 +795,13 @@ class LakeTable:
             df = df.withColumn("_day", F.to_date(F.col(self.stats_col)).cast("string"))
             part_cols.append("_day")
         width = self.write_width
-        if width > 1:
+        if pre_partitioned and width == 1:
+            # caller guarantees df is already hash-partitioned by _bucket
+            # (the fused apply plan rides its dedup exchange straight into
+            # the write) — repartitioning again would re-shuffle the
+            # winner set for nothing
+            pass
+        elif width > 1:
             # fan each bucket over `width` writer tasks; the split key is
             # the bucket KEY's hash (stable, even spread of conversations)
             # so all rows of one conversation still land in one file per

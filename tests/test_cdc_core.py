@@ -200,6 +200,63 @@ def test_apply_narrow_strategy_byte_equal(spark, tmp_path):
     assert [r.rows_in for r in rs] == [8_000 // 2, 8_000 // 2]
 
 
+def test_apply_fused_strategy_byte_equal(spark, tmp_path):
+    """Full replay under the fused one-exchange strategy (auto's default
+    for small epochs) lands byte-identical final state vs the agg
+    strategy, with identical lineage counters; a wide-write table falls
+    back to agg instead of silently breaking its fan-out."""
+    from etl_spark.cdc import apply as ap
+    from etl_spark.datagen import write_change_log
+
+    log = str(tmp_path / "log")
+    write_change_log(spark, log, 8_000, n_convs=40, n_epochs=2,
+                     evolve_from_epoch=1, files_per_epoch=4)
+    a = CdcEngine(spark, str(tmp_path / "agg"), num_buckets=4,
+                  dedup_strategy="agg")
+    ra = a.replay(log)
+    b = CdcEngine(spark, str(tmp_path / "fused"), num_buckets=4,
+                  dedup_strategy="fused")
+    rb = b.replay(log)
+    assert all(not r.skipped for r in rb)
+    assert_pdf_equal(
+        a.table.snapshot_df().toPandas(),
+        b.table.snapshot_df().toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+    assert [r.rows_in for r in rb] == [r.rows_in for r in ra]
+    assert [r.winners for r in rb] == [r.winners for r in ra]
+    assert [r.dirty_buckets for r in rb] == [r.dirty_buckets for r in ra]
+
+    # write_width > 1 needs its own write fan-out: fused must downgrade
+    wide = CdcEngine(spark, str(tmp_path / "wide"), num_buckets=4,
+                     write_width=4, dedup_strategy="fused")
+    rw = wide.replay(log)
+    assert all(not r.skipped for r in rw)
+    assert_pdf_equal(
+        a.table.snapshot_df().toPandas(),
+        wide.table.snapshot_df().toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+
+
+def test_fused_plan_single_exchange(spark):
+    """The fused dedup's plan has exactly ONE exchange: the raw-row
+    shuffle on _bucket serves the (bucket, key) aggregation directly —
+    HashPartitioning(_bucket) satisfies the grouping's clustering, so no
+    second exchange appears between repartition and aggregate."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.dedup import lww_dedup
+
+    changes = gen_changes(spark, 2_000, n_convs=20, n_epochs=1)
+    b = changes.withColumn(
+        "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+    ).repartition(4, F.col("_bucket"))
+    out = lww_dedup(b, key=["_bucket", "conv_id", "turn_idx"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_datagen_deterministic_across_parallelism(spark):
     a = gen_changes(spark, 5_000, n_convs=40).toPandas()
     b = gen_changes(spark, 5_000, n_convs=40).repartition(17).toPandas()
@@ -263,14 +320,14 @@ def test_write_width_fans_buckets_across_files(spark, tmp_path):
 
 def test_auto_strategy_dispatch(spark, tmp_path, monkeypatch):
     """`auto` resolves on the batch's optimizer size estimate: small
-    file-backed batches take the agg plan, large ones narrow; an explicit
-    strategy always passes through untouched."""
+    file-backed batches take the fused plan, large ones narrow; an
+    explicit strategy always passes through untouched."""
     from etl_spark.cdc import apply as ap
 
     p = str(tmp_path / "batch")
     spark.range(100).selectExpr("id as conv_id").write.parquet(p)
     batch = spark.read.parquet(p)
-    assert ap.resolve_dedup_strategy(batch, "auto") == "agg"
+    assert ap.resolve_dedup_strategy(batch, "auto") == "fused"
     assert ap.resolve_dedup_strategy(batch, "narrow-sh") == "narrow-sh"
     assert ap.resolve_dedup_strategy(batch, "agg") == "agg"
     # same batch, crossover lowered beneath its size -> the scale plan
