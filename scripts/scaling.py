@@ -57,6 +57,9 @@ if mode == "cluster":
         "spark.executor.memory": "8g",
         "spark.executor.extraJavaOptions":
             "-XX:+UseParallelGC -XX:ParallelGCThreads=4 -Xmn2g",
+        # belt-and-braces with the per-rep System.gc(): never let shuffle
+        # files from finished reps sit for the 30-min default
+        "spark.cleaner.periodicGC.interval": "1min",
     }}
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = "8g"
 else:
@@ -82,6 +85,14 @@ for rep in range(reps):
     # reclaim the rep's table immediately: accumulated tables otherwise
     # fill /tmp and shift page-cache/writeback pressure onto later reps
     shutil.rmtree(path, ignore_errors=True)
+    # ...and the rep's SHUFFLE files: all reps share one session, and
+    # Spark only deletes a finished shuffle's files when the JVM GC
+    # collects its dependency (periodic GC default: 30 min). One 320M
+    # replay spills ~30 GB, so 8 accumulated reps ENOSPC the disk and
+    # kill executors. Forcing a JVM GC hands the shuffle to the
+    # ContextCleaner between reps — off the timed path.
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
 runs_sorted = sorted(runs, key=lambda r: r["wall_s"])
 # warm statistics: the first warm_skip reps are JIT/codegen warm-up
 # (measured: rep walls like 205 -> 69 -> 15 s at 32 threads) — a
