@@ -41,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="writer tasks per bucket (table-creation time only)")
     r.add_argument("--stop-after", type=int, default=None)
     r.add_argument(
+        "--meta-url", default=None,
+        help="serve the table's commit metadata over HTTP conditional PUT "
+        "at this base URL (object-store deployment; data files stay on "
+        "the table path's filesystem). Default: POSIX _meta dir.",
+    )
+    r.add_argument(
         "--gate",
         choices=["none", "default"],
         default="none",
@@ -206,8 +212,13 @@ def main(argv: list[str] | None = None) -> int:
     from etl_spark.cdc.engine import CdcEngine
 
     if args.cmd == "replay":
+        store = None
+        if args.meta_url:
+            from etl_spark.lake.metastore_http import HttpMetadataStore
+
+            store = HttpMetadataStore(args.meta_url)
         eng = CdcEngine(spark, args.table, num_buckets=args.buckets,
-                        write_width=args.write_width)
+                        write_width=args.write_width, store=store)
         gate = None
         if args.gate == "default":
             from etl_spark.quality import default_transcript_gate

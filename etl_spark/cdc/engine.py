@@ -88,17 +88,22 @@ class CdcEngine:
         compact_threshold: int = 8,
         write_width: int = 1,
         dedup_strategy: str | None = None,
+        store=None,
     ):
+        """``store`` (lake.metastore.MetadataStore) overrides the commit-
+        metadata backend — e.g. an HttpMetadataStore for object-store
+        deployments where data rides the filesystem connector but commit
+        atomicity needs conditional PUT. Default: POSIX ``_meta`` dir."""
         self.spark = spark
         self.table_path = table_path
         self.dedup_strategy = dedup_strategy
-        if LakeTable.exists(table_path):
-            self.table = LakeTable(spark, table_path)
+        if LakeTable.exists(table_path, store=store):
+            self.table = LakeTable(spark, table_path, store=store)
         else:
             self.table = LakeTable.create(
                 spark, table_path, TRANSCRIPT_SCHEMA, bucket_key="conv_id",
                 num_buckets=num_buckets, compact_threshold=compact_threshold,
-                write_width=write_width,
+                write_width=write_width, store=store,
             )
         self.lineage = LineageLog(os.path.join(table_path, "_lineage", "lineage.jsonl"))
         self.alerts_path = os.path.join(table_path, "_lineage", "alerts.jsonl")

@@ -129,3 +129,30 @@ def test_laketable_commit_protocol_on_http_store(spark, tmp_path, server):
     t2 = LakeTable(spark, path, store=HttpMetadataStore(store.base_url))
     assert t2.snapshot_df().count() == 2
     assert apply_batch(t2, batch, epoch=0).skipped
+
+
+def test_cdc_engine_replay_on_http_store(spark, tmp_path, server):
+    """Full replay through CdcEngine with commit metadata over HTTP
+    (the --meta-url CLI deployment shape), resumable by a second engine
+    instance over a fresh client."""
+    from etl_spark.cdc.engine import CdcEngine
+    from etl_spark.datagen import write_change_log
+
+    log = str(tmp_path / "log")
+    write_change_log(spark, log, 4000, n_convs=100, n_epochs=3)
+    store = _fresh_store(server)
+    path = str(tmp_path / "tbl_engine_http")
+
+    eng = CdcEngine(spark, path, num_buckets=4, store=store)
+    r1 = eng.replay(log, stop_after=2)
+    assert [s.epoch for s in r1] == [0, 1]
+
+    # second engine, fresh HTTP client: resumes from the committed epoch
+    eng2 = CdcEngine(
+        spark, path, num_buckets=4, store=HttpMetadataStore(store.base_url)
+    )
+    r2 = eng2.replay(log)
+    assert [s.epoch for s in r2] == [2]
+    assert eng2.table.snapshot_df().count() > 0
+    # replaying again is fully fenced
+    assert eng2.replay(log) == []
