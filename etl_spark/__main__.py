@@ -47,6 +47,17 @@ def main(argv: list[str] | None = None) -> int:
         "the table path's filesystem). Default: POSIX _meta dir.",
     )
     r.add_argument(
+        "--max-lag-s", type=float, default=None,
+        help="ingest-freshness SLO: alert when a commit's ingest lag "
+        "(wall clock minus newest applied op_ts) exceeds this many "
+        "seconds (the reference's 8h DeadlineSensor analogue)",
+    )
+    r.add_argument(
+        "--lag-level", choices=["optional", "mandatory"], default="optional",
+        help="optional: breach alerts and proceeds; mandatory: breach "
+        "alerts and stops the replay AFTER the epoch's commit",
+    )
+    r.add_argument(
         "--gate",
         choices=["none", "default"],
         default="none",
@@ -224,7 +235,16 @@ def main(argv: list[str] | None = None) -> int:
             from etl_spark.quality import default_transcript_gate
 
             gate = default_transcript_gate()
-        results = eng.replay(args.log, stop_after=args.stop_after, gate=gate)
+        lag_slo = None
+        if args.max_lag_s is not None:
+            from etl_spark.quality import MANDATORY, OPTIONAL, LagSlo
+
+            lag_slo = LagSlo(
+                max_lag_s=args.max_lag_s,
+                level=MANDATORY if args.lag_level == "mandatory" else OPTIONAL,
+            )
+        results = eng.replay(args.log, stop_after=args.stop_after, gate=gate,
+                             lag_slo=lag_slo)
         for st in results:
             print(json.dumps({
                 "epoch": st.epoch, "snapshot_id": st.snapshot_id,

@@ -51,18 +51,23 @@ FEATURE_SCHEMA = T.StructType(
 def decode_stub(payload: bytes, mime: str) -> dict[str, Any]:
     """Decode a media payload to (width, height).
 
-    ``image/bmp`` is a REAL pure-NumPy codec (``decode_bmp``); ``audio/
-    wav`` parses real RIFF/PCM (``decode_wav``, dimensions n/a). Codecs
-    needing external libs (jpeg/png/mp4 — not in this environment) raise
-    ``NotImplementedError``; a production build plugs Pillow/ffmpeg in
-    here. ``fake/raw`` payloads decode deterministically from the byte
-    content so the generic pipeline stays testable.
+    ``image/bmp`` and ``image/png`` are REAL pure-NumPy codecs
+    (``decode_bmp``, ``decode_png`` — the latter stdlib-zlib based, all
+    five scanline filters); ``audio/wav`` parses real RIFF/PCM
+    (``decode_wav``, dimensions n/a). Codecs needing external libs
+    (jpeg/mp4 — not in this environment) raise ``NotImplementedError``;
+    a production build plugs Pillow/ffmpeg in here. ``fake/raw``
+    payloads decode deterministically from the byte content so the
+    generic pipeline stays testable.
     """
     if mime == "fake/raw":
         n = len(payload)
         return {"width": 16 + n % 640, "height": 16 + (n * 31) % 480}
     if mime == "image/bmp":
         d = decode_bmp(payload)
+        return {"width": d["width"], "height": d["height"]}
+    if mime == "image/png":
+        d = decode_png(payload)
         return {"width": d["width"], "height": d["height"]}
     raise NotImplementedError(f"no codec for mime={mime!r} in this environment")
 
@@ -115,6 +120,124 @@ def decode_bmp(payload: bytes) -> dict[str, Any]:
     rows = data.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
     if bottom_up:
         rows = rows[::-1]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mean_px": float(rows.mean()),
+        "top_row_mean": float(rows[0].mean()),
+    }
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (W3C PNG spec / RFC 2083): IHDR + one zlib-compressed IDAT of
+    filter-0 scanlines + IEND, each chunk CRC32-tagged. Pure
+    stdlib-zlib + NumPy — no image libraries."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    # filter byte 0 (None) prepended to every scanline
+    raw = np.zeros((h, 1 + 3 * w), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, 3 * w)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, truecolor
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict[str, Any]:
+    """Decode an 8-bit truecolor (RGB/RGBA) PNG: dimensions + pixel
+    statistics, matching ``decode_bmp``'s output shape.
+
+    Implements the spec's full scanline unfiltering: None and Up are
+    vectorized row ops; Sub is a per-row ``cumsum`` (byte addition mod
+    256 is associative, so the running sum IS the reconstruction);
+    Average/Paeth carry a true left-pixel dependency and fall back to a
+    per-pixel column walk vectorized over channels. Interlace
+    (Adam7) and palette/grayscale color types are out of scope —
+    ``NotImplementedError``, same policy as non-24-bit BMP."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = len(_PNG_SIG), [], None
+    while pos + 8 <= len(payload):
+        size, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + crc
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, _comp, _filt, interlace = meta
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit truecolor non-interlaced PNG "
+            f"(got depth={depth}, color={color}, interlace={interlace})"
+        )
+    bpp = 3 if color == 2 else 4
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + w * bpp)
+    ftypes, lines = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    for y in range(h):
+        f, line = int(ftypes[y]), lines[y]
+        prior = out[y - 1] if y else np.zeros(w * bpp, dtype=np.uint8)
+        if f == 0:  # None
+            out[y] = line
+        elif f == 1:  # Sub: cumsum along the row per byte lane
+            out[y] = np.cumsum(
+                line.reshape(w, bpp).astype(np.uint32), axis=0
+            ).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            out[y] = line + prior
+        elif f in (3, 4):  # Average / Paeth: left dependency -> column walk
+            row = out[y]
+            pr = prior.reshape(w, bpp).astype(np.int32)
+            ln = line.reshape(w, bpp).astype(np.int32)
+            rw = row.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                b = pr[x]
+                if f == 3:
+                    val = ln[x] + ((left + b) >> 1)
+                else:
+                    p = left + b - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, ul)
+                    )
+                    val = ln[x] + pred
+                rw[x] = val.astype(np.uint8)
+                left = rw[x].astype(np.int32)
+                ul = b
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    rows = out.reshape(h, w, bpp)[:, :, :3]  # stats over RGB, alpha ignored
     return {
         "width": int(w),
         "height": int(h),
@@ -209,29 +332,29 @@ BMP_DECODE_SCHEMA = T.StructType(
 )
 
 
-def bmp_from_docs(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """Planted BMP fixture: one REAL (spec-compliant, bottom-up, padded)
-    24-bit BMP per document, dimensions and content derived from the
-    text's utf-8 byte length L — width 4 + L%29 (hits every 4-byte
-    stride-padding case), height 3 + L%13, visual row r filled with
-    (r*13 + L) % 256. The stats are analytically known from L, so a
-    DuckDB oracle can verify the DECODER without having one."""
+def _planted_pixels(L: int):
+    """The shared planted-image formula: width 4 + L%29 (hits every BMP
+    4-byte stride-padding case), height 3 + L%13, visual row r filled
+    with (r*13 + L) % 256 — stats analytic in the text byte length L."""
     import numpy as np
 
+    w, h = 4 + L % 29, 3 + L % 13
+    rows = (np.arange(h, dtype=np.int64) * 13 + L) % 256
+    return np.repeat(rows.astype(np.uint8), w * 3).reshape(h, w, 3)
+
+
+def _media_from_docs(docs: DataFrame, encoder, mime: str, id_col: str,
+                     text_col: str) -> DataFrame:
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for text in pdf["text"]:
-                L = len(str(text).encode("utf-8"))
-                w, h = 4 + L % 29, 3 + L % 13
-                rows = (np.arange(h, dtype=np.int64) * 13 + L) % 256
-                px = np.repeat(rows.astype(np.uint8), w * 3).reshape(h, w, 3)
-                payloads.append(encode_bmp(px))
+            payloads = [
+                encoder(_planted_pixels(len(str(text).encode("utf-8"))))
+                for text in pdf["text"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
-                    "mime": "image/bmp",
+                    "mime": mime,
                     "payload": payloads,
                 }
             )
@@ -241,12 +364,27 @@ def bmp_from_docs(docs: DataFrame, id_col: str = "doc_id",
     ).mapInPandas(_encode, MEDIA_SCHEMA)
 
 
-def decode_bmp_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched real-codec decode: dimensions + pixel stats per BMP."""
+def bmp_from_docs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Planted BMP fixture: one REAL (spec-compliant, bottom-up, padded)
+    24-bit BMP per document, pixels from ``_planted_pixels`` — the stats
+    are analytically known from L, so a DuckDB oracle can verify the
+    DECODER without having one."""
+    return _media_from_docs(docs, encode_bmp, "image/bmp", id_col, text_col)
 
+
+def png_from_docs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Planted PNG fixture: same ``_planted_pixels`` formula, encoded as
+    real zlib-deflate PNG — same analytic oracle verifies the inflate +
+    unfilter path."""
+    return _media_from_docs(docs, encode_png, "image/png", id_col, text_col)
+
+
+def _decode_features(media: DataFrame, codec) -> DataFrame:
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decode_bmp(p) for p in pdf["payload"]]
+            decoded = [codec(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -258,6 +396,16 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, BMP_DECODE_SCHEMA)
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched real-codec decode: dimensions + pixel stats per BMP."""
+    return _decode_features(media, decode_bmp)
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched real-codec decode: dimensions + pixel stats per PNG."""
+    return _decode_features(media, decode_png)
 
 
 def docs_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -515,6 +515,16 @@ def media_decode(spark, sf_dir):
     return decode_bmp_features(bmp_from_docs(_t(spark, sf_dir, "documents")))
 
 
+# Same planted-pixel formula through the PNG codec (stdlib zlib deflate +
+# full scanline unfiltering): the identical closed-form oracle now checks
+# the inflate/unfilter path instead of the DIB one.
+@register("media_decode_png", _MEDIA_DECODE_ORACLE)
+def media_decode_png(spark, sf_dir):
+    from .operators.multimodal import decode_png_features, png_from_docs
+
+    return decode_png_features(png_from_docs(_t(spark, sf_dir, "documents")))
+
+
 # --------------------------------------------------------------------------
 # Dataset-preparation family (operators/mlprep.py): deterministic split,
 # stratified sampling, PII redaction, greedy sequence packing, near-dup

@@ -138,7 +138,7 @@ SUITE_SPECS: dict[str, tuple[dict, list]] = {
          ("min_sig", "s"), ("max_sig", "s"), ("n_distinct_tokens", "d"),
          ("text_hash", "s"), ("n_dups", "d"), ("keep_id", "d")],
     ),
-    # multimodal: typed metadata/checksum + real BMP/WAV decode features
+    # multimodal: typed metadata/checksum + real BMP/PNG decode features
     "media_suite": (
         {
             "features": ("media_features",
@@ -149,6 +149,10 @@ SUITE_SPECS: dict[str, tuple[dict, list]] = {
                        {"media_id": "media_id", "width": "width",
                         "height": "height", "mean_px": "mean_px",
                         "top_row_mean": "top_row_mean"}),
+            "decode_png": ("media_decode_png",
+                           {"media_id": "media_id", "width": "width",
+                            "height": "height", "mean_px": "mean_px",
+                            "top_row_mean": "top_row_mean"}),
         },
         [("media_id", "d"), ("mime", "s"), ("n_bytes", "d"), ("width", "d"),
          ("height", "d"), ("checksum", "s"), ("mean_px", "d"),

@@ -67,8 +67,9 @@ def test_multimodal_batching_and_stub(spark):
     assert len(rows) == docs.count()
     r0 = {r.media_id: r for r in rows}[0]
     assert r0.n_bytes > 0 and 16 <= r0.width < 656 and 16 <= r0.height < 496
+    # png gained a real codec in round 4; jpeg remains env-absent
     with pytest.raises(NotImplementedError):
-        decode_stub(b"\x89PNG", "image/png")
+        decode_stub(b"\xff\xd8\xff\xe0", "image/jpeg")
 
 
 def test_minhash_lsh_finds_exact_dups(spark):
@@ -302,6 +303,94 @@ def test_bmp_codec_roundtrip():
         assert (d["width"], d["height"]) == (w, h)
         assert abs(d["mean_px"] - float(px.mean())) < 1e-9
         assert abs(d["top_row_mean"] - float(px[0].mean())) < 1e-9
+
+
+def test_png_codec_roundtrip():
+    """Pure NumPy+zlib PNG encode/decode (W3C spec): dimensions and
+    pixel stats recovered exactly."""
+    import numpy as np
+
+    from etl_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    d = decode_png(encode_png(px))
+    assert (d["width"], d["height"]) == (21, 13)
+    assert abs(d["mean_px"] - float(px.mean())) < 1e-9
+    assert abs(d["top_row_mean"] - float(px[0].mean())) < 1e-9
+
+
+def test_png_decoder_all_filters_and_rgba():
+    """Adversarial decode: scanlines filtered per-spec with every filter
+    type (None/Sub/Up/Average/Paeth, cycling by row) by an independent
+    forward-filter implementation, plus an RGBA (color type 6) image —
+    the decoder must reconstruct both exactly, not just its own
+    encoder's filter-0 output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def forward_filter(pixels):
+        h, w, bpp = pixels.shape
+        flat = pixels.reshape(h, w * bpp).astype(np.int32)
+        lines = []
+        for y in range(h):
+            f, cur = y % 5, flat[y]
+            prior = flat[y - 1] if y else np.zeros(w * bpp, dtype=np.int32)
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prior[:-bpp]])
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - left
+            elif f == 2:
+                filt = cur - prior
+            elif f == 3:
+                filt = cur - ((left + prior) // 2)
+            else:
+                p = left + prior - ul
+                pa, pb, pc = abs(p - left), abs(p - prior), abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, prior, ul),
+                )
+                filt = cur - pred
+            lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+        return b"".join(lines)
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (11, 17, 3), dtype=np.uint8)
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 17, 11, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(forward_filter(px)))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_png(png)
+    assert (d["width"], d["height"]) == (17, 11)
+    assert abs(d["mean_px"] - float(px.mean())) < 1e-9
+
+    px4 = rng.integers(0, 256, (5, 6, 4), dtype=np.uint8)
+    raw4 = np.zeros((5, 1 + 6 * 4), dtype=np.uint8)
+    raw4[:, 1:] = px4.reshape(5, 24)
+    png4 = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw4.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    d4 = decode_png(png4)
+    # stats are over RGB; alpha is ignored
+    assert abs(d4["mean_px"] - float(px4[:, :, :3].mean())) < 1e-9
 
 
 def test_wav_codec_roundtrip():
