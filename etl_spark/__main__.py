@@ -243,8 +243,17 @@ def main(argv: list[str] | None = None) -> int:
                 max_lag_s=args.max_lag_s,
                 level=MANDATORY if args.lag_level == "mandatory" else OPTIONAL,
             )
-        results = eng.replay(args.log, stop_after=args.stop_after, gate=gate,
-                             lag_slo=lag_slo)
+        from etl_spark.quality import SloViolation
+
+        slo_breach = None
+        try:
+            results = eng.replay(args.log, stop_after=args.stop_after,
+                                 gate=gate, lag_slo=lag_slo)
+        except SloViolation as e:
+            # the breaching epoch committed before the stop — report every
+            # applied epoch, then the breach, then a nonzero exit
+            results = getattr(e, "results", [])
+            slo_breach = e
         for st in results:
             print(json.dumps({
                 "epoch": st.epoch, "snapshot_id": st.snapshot_id,
@@ -259,6 +268,9 @@ def main(argv: list[str] | None = None) -> int:
             "committed_epoch": eng.table.committed_epoch(),
             "snapshot_id": eng.table.current_snapshot_id,
         }))
+        if slo_breach is not None:
+            print(json.dumps({"slo_violation": str(slo_breach)}))
+            return 3
         return 0
 
     if args.cmd == "stream":

@@ -241,9 +241,15 @@ def apply_batch(
     strategy = resolve_dedup_strategy(
         changes, dedup_strategy, prior_stats=table.last_delta_stats(source)
     )
-    if strategy == "fused" and table.write_width > 1:
+    if strategy == "fused" and (
+        table.write_width > 1 or table.bucket_key not in table.key_cols
+    ):
         # fused's single exchange IS the write partitioning; a widened
-        # write layout needs its own fan-out, so fall back to agg
+        # write layout needs its own fan-out, so fall back to agg. And
+        # fused's groupBy(_bucket, key) is only a per-key dedup when the
+        # bucket is a function of the key — a bucket_key outside key_cols
+        # would split one key's duplicates across buckets and emit
+        # several "winners" per key, so that layout takes agg too.
         strategy = "agg"
     if strategy.startswith("narrow"):
         # batch-global counters observe on the phase-1 NARROW scan, so

@@ -150,6 +150,8 @@ class CdcEngine:
         optional breaches alert and proceed, a mandatory breach alerts and
         stops the replay AFTER the commit (the reference's DeadlineSensor).
         """
+        from ..quality import SloViolation
+
         sink = self.default_alert_sink()
         results: list[ApplyStats] = []
         applied = 0
@@ -167,7 +169,14 @@ class CdcEngine:
             results.append(stats)
             applied += 1
             if lag_slo is not None:
-                lag_slo.check(stats, sink=sink, context={"source": source, "epoch": epoch})
+                try:
+                    lag_slo.check(stats, sink=sink, context={"source": source, "epoch": epoch})
+                except SloViolation as e:
+                    # the breaching epoch IS committed (data durable) — a
+                    # mandatory stop must not discard the record of what
+                    # was applied; callers (and the CLI) read .results
+                    e.results = results
+                    raise
         return results
 
     def _record(self, source: str, stats: ApplyStats) -> None:

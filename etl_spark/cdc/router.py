@@ -102,6 +102,16 @@ def route_batch(
                 f"route value; sharing a destination would epoch-fence the "
                 f"rest rows away"
             )
+        # distinct paths but a route value named like the rest table would
+        # make the rest stats entry below silently overwrite the routed
+        # table's — same policy as _ensure_tables: refuse loudly
+        name_clash = os.path.basename(rest_path)
+        if name_clash in tables:
+            raise ValueError(
+                f"route value {name_clash!r} collides with the rest table's "
+                f"name — the per-destination stats would overwrite each "
+                f"other; rename the rest table (rest_name=) or the route value"
+            )
     for val, table in sorted(tables.items()):
         match = F.col(route_col) == F.lit(val)
         stats[val] = apply_batch(

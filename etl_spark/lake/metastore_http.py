@@ -120,6 +120,34 @@ class HttpMetadataStore(MetadataStore):
         except urllib.error.HTTPError as e:  # non-2xx: a normal answer here
             return e.code, e.read()
 
+    def _request_retry(
+        self,
+        method: str,
+        url: str,
+        body: bytes | None = None,
+        headers: dict[str, str] | None = None,
+    ) -> tuple[int, bytes]:
+        """``_request`` with transient-failure retries for IDEMPOTENT
+        operations (GET / unconditional PUT / DELETE): 429/5xx statuses
+        and transport errors are retried with backoff; the first
+        non-retryable answer is returned. The conditional PUT must NOT
+        use this — a lost-response retry there needs the read-back
+        disambiguation in ``publish_version``."""
+        last: Exception | None = None
+        for attempt in range(self.retries + 1):
+            try:
+                status, resp = self._request(method, url, body, headers)
+            except (urllib.error.URLError, ConnectionError, _http_exc) as e:
+                last = e
+                status, resp = None, b""
+            if status is not None and status not in _RETRYABLE_STATUSES:
+                return status, resp
+            if attempt < self.retries:
+                time.sleep(self.retry_backoff_s * (2**attempt))
+        if last is not None:
+            raise OSError(f"{method} {url}: transport failed after retries: {last}")
+        raise OSError(f"{method} {url} failed with HTTP {status} after retries")
+
     # -- the reservation primitive --------------------------------------------
 
     def publish_version(self, version: int, payload: str) -> None:
@@ -144,14 +172,21 @@ class HttpMetadataStore(MetadataStore):
                 try:
                     stored = self.read_version(version)
                 except FileNotFoundError:
-                    if status is None:
-                        # transport failure and nothing stored: retry the PUT
-                        time.sleep(self.retry_backoff_s * (2**attempt))
-                        continue
-                    # 412/409 but key absent — eventual-consistency artifact
-                    # or races with delete; retry resolves it
+                    # transport failure and nothing stored: retry the PUT.
+                    # 412/409 with the key absent is an eventual-consistency
+                    # artifact or a race with delete; retry resolves it too.
                     time.sleep(self.retry_backoff_s * (2**attempt))
                     continue
+                except OSError as e:
+                    # transient failure on the disambiguation GET (its own
+                    # retries exhausted): the publish outcome is still
+                    # unknown, so keep retrying the publish loop rather
+                    # than misreporting an applied PUT as a hard failure
+                    if attempt < self.retries:
+                        last_exc = e
+                        time.sleep(self.retry_backoff_s * (2**attempt))
+                        continue
+                    raise
                 if stored == payload:
                     return  # our write landed; the error was the retry's
                 raise ConcurrentCommitError(
@@ -167,7 +202,7 @@ class HttpMetadataStore(MetadataStore):
     # -- plain reads/writes ----------------------------------------------------
 
     def read_version(self, version: int) -> str:
-        status, body = self._request("GET", self._url(f"v{version}.json"))
+        status, body = self._request_retry("GET", self._url(f"v{version}.json"))
         if status == 404:
             raise FileNotFoundError(f"metadata version {version} not found")
         if not (200 <= status < 300):
@@ -176,15 +211,18 @@ class HttpMetadataStore(MetadataStore):
 
     def write_hint(self, version: int) -> None:
         # a single-object PUT is atomic on every listed store — readers see
-        # the old or the new body, never a torn one (contract property 5)
-        status, _ = self._request(
+        # the old or the new body, never a torn one (contract property 5).
+        # Unconditional and idempotent, so transient failures retry blindly:
+        # a hint left behind the published version would otherwise wedge
+        # readers on stale metadata until the next successful commit.
+        status, _ = self._request_retry(
             "PUT", self._url("version-hint.text"), str(version).encode()
         )
         if not (200 <= status < 300):
             raise OSError(f"hint PUT failed with HTTP {status}")
 
     def read_hint(self) -> int | None:
-        status, body = self._request("GET", self._url("version-hint.text"))
+        status, body = self._request_retry("GET", self._url("version-hint.text"))
         if status == 404:
             return None
         if not (200 <= status < 300):
@@ -192,28 +230,70 @@ class HttpMetadataStore(MetadataStore):
         text = body.decode("utf-8").strip()
         return int(text) if text else None
 
+    #: statuses that mean the backend has no LIST endpoint at this URL —
+    #: fall back to probing. Transient statuses are NOT here: those retry
+    #: in _request_retry and then raise, never silently degrade to probes.
+    _NO_LIST_STATUSES = frozenset({400, 403, 404, 405, 501})
+    #: probe-forward gap tolerance: versions are published contiguously
+    #: (each commit reserves latest+1), but vacuum deletes old ones and a
+    #: lost hint can trail by a few commits — keep probing through this
+    #: many consecutive missing slots before declaring the end.
+    _PROBE_GAP = 8
+
     def list_versions(self) -> list[int]:
-        status, body = self._request("GET", self.base_url + "/?list")
+        listed: list[int] | None = None
+        status, body = self._request_retry("GET", self.base_url + "/?list")
         if 200 <= status < 300:
-            out = []
-            for name in json.loads(body.decode("utf-8")):
-                stem = name.removeprefix("v").removesuffix(".json")
-                if name.startswith("v") and name.endswith(".json") and stem.isdigit():
-                    out.append(int(stem))
+            try:
+                names = json.loads(body.decode("utf-8"))
+            except (ValueError, UnicodeDecodeError):
+                names = None  # not a LIST answer (e.g. index page) — probe
+            if isinstance(names, list):
+                listed = []
+                for name in names:
+                    stem = str(name).removeprefix("v").removesuffix(".json")
+                    if str(name).startswith("v") and str(name).endswith(".json") and stem.isdigit():
+                        listed.append(int(stem))
+        elif status not in self._NO_LIST_STATUSES:
+            raise OSError(f"LIST {self.base_url} failed with HTTP {status}")
+        if listed is not None:
+            # LIST may be eventually consistent (miss just-published keys);
+            # the version keys themselves are strong read-after-write, so
+            # union with a probe forward from the newest version we know of
+            out = set(listed)
+            v = max([self.read_hint() or 0, *[x + 1 for x in out]])
+            while self.version_exists(v):
+                out.add(v)
+                v += 1
             return sorted(out)
-        # no LIST endpoint (or it errored): hint + probe forward — correct
-        # on eventually-consistent LIST because publish gives strong
-        # read-after-write on the version keys themselves
+        # no LIST endpoint: hint + probe. Every slot up to the hint is
+        # probed individually (vacuum leaves low-end gaps); above it,
+        # probe forward tolerating up to _PROBE_GAP consecutive misses
+        # (covers a lost/stale hint trailing a few commits).
         start = self.read_hint() or 0
-        out = [v for v in range(0, start + 1) if self.version_exists(v)]
-        v = start + 1
-        while self.version_exists(v):
-            out.append(v)
+        out_l = [v for v in range(0, start + 1) if self.version_exists(v)]
+        v, misses = start + 1, 0
+        while misses <= self._PROBE_GAP:
+            if self.version_exists(v):
+                out_l.append(v)
+                misses = 0
+            else:
+                misses += 1
             v += 1
-        return out
+        return out_l
+
+    def version_exists(self, version: int) -> bool:
+        # HEAD, not the base class's full-payload GET: the probe paths
+        # above touch many versions and metadata manifests are multi-MB
+        status, _ = self._request_retry("HEAD", self._url(f"v{version}.json"))
+        if status == 404:
+            return False
+        if not (200 <= status < 300):
+            raise OSError(f"HEAD v{version}.json failed with HTTP {status}")
+        return True
 
     def delete_version(self, version: int) -> None:
-        status, _ = self._request("DELETE", self._url(f"v{version}.json"))
+        status, _ = self._request_retry("DELETE", self._url(f"v{version}.json"))
         if status not in (200, 202, 204, 404):
             raise OSError(f"DELETE v{version}.json failed with HTTP {status}")
 
@@ -253,6 +333,8 @@ class ReferenceConditionalPutServer:
         self._lock = threading.Lock()
         self._objects: dict[str, bytes] = {}
         self._drop_puts: set[str] = set()  # paths whose next PUT response is dropped
+        #: (method, path) -> queued statuses to answer WITHOUT applying
+        self._inject: dict[tuple[str, str], list[int]] = {}
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
@@ -271,7 +353,23 @@ class ReferenceConditionalPutServer:
                 if body:
                     self.wfile.write(body)
 
+            def _injected(self, method: str) -> bool:
+                """Answer a queued fault status (without applying) if one
+                is staged for (method, path)."""
+                with store._lock:
+                    q = store._inject.get((method, self.path))
+                    status = q.pop(0) if q else None
+                if status is None:
+                    return False
+                # a request with a body must still be drained off the socket
+                if method in ("PUT", "POST"):
+                    self._body()
+                self._reply(status)
+                return True
+
             def do_PUT(self):
+                if self._injected("PUT"):
+                    return
                 body = self._body()
                 conditional = (
                     self.headers.get("If-None-Match") == "*"
@@ -297,6 +395,8 @@ class ReferenceConditionalPutServer:
                 self._reply(status)
 
             def do_GET(self):
+                if self._injected("GET"):
+                    return
                 if self.path.endswith("/?list"):
                     prefix = self.path[: -len("?list")]
                     with store._lock:
@@ -314,7 +414,16 @@ class ReferenceConditionalPutServer:
                 else:
                     self._reply(200, body)
 
+            def do_HEAD(self):
+                if self._injected("HEAD"):
+                    return
+                with store._lock:
+                    exists = self.path in store._objects
+                self._reply(200 if exists else 404)
+
             def do_DELETE(self):
+                if self._injected("DELETE"):
+                    return
                 with store._lock:
                     existed = store._objects.pop(self.path, None) is not None
                 self._reply(204 if existed else 404)
@@ -346,3 +455,10 @@ class ReferenceConditionalPutServer:
         client sees a transport error; the store saw a success)."""
         with self._lock:
             self._drop_puts.add(path)
+
+    def inject_status(self, method: str, path: str, *statuses: int) -> None:
+        """Queue fault answers: the next ``len(statuses)`` requests
+        matching ``(method, path)`` are answered with those statuses in
+        order WITHOUT being applied (throttle/5xx simulation)."""
+        with self._lock:
+            self._inject.setdefault((method, path), []).extend(statuses)

@@ -181,6 +181,12 @@ class LakeTable:
             v = self._store.read_hint()
             if v is None:
                 raise FileNotFoundError(f"no table at {self.path}")
+            # the hint is advisory (metastore contract property 5): a
+            # hint write lost after a successful version publish must not
+            # wedge readers on stale metadata — probe forward to the true
+            # latest (one extra exists-check in the common in-sync case)
+            while self._store.version_exists(v + 1):
+                v += 1
         else:
             v = int(at_version)
         try:
@@ -1098,7 +1104,14 @@ class LakeTable:
         # if a racing writer claimed v{N} first (backend-specific —
         # os.link EEXIST, object-store conditional PUT, catalog CAS)
         self._store.publish_json(new_v, meta)
-        self._store.write_hint(new_v)
+        try:
+            self._store.write_hint(new_v)
+        except OSError:
+            # the publish IS the commit; the hint is an advisory pointer
+            # and readers probe forward past a stale one (_load_meta), so
+            # a transiently failing hint store must not fail a commit
+            # that already happened. The next commit re-advances it.
+            pass
         self._meta = meta
 
     def snapshots_truncated_before(self) -> int:

@@ -239,6 +239,38 @@ def test_apply_fused_strategy_byte_equal(spark, tmp_path):
     )
 
 
+def test_fused_downgrades_when_bucket_key_outside_key_cols(spark, tmp_path):
+    """fused's groupBy(_bucket, key) is a per-key dedup only when the
+    bucket is a function of the key. A table bucketed on a NON-key column
+    must take the agg path — otherwise duplicates of one key differing in
+    the bucket column land in different groups and each emits a
+    'winner', breaking the one-row-per-key MERGE contract."""
+    import datetime as dt
+
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.cdc.engine import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "tbl_rolebucket"), TRANSCRIPT_SCHEMA,
+        num_buckets=4, bucket_key="role",
+    )
+    T_ = lambda s: dt.datetime.fromisoformat(s)
+    # same (conv_id, turn_idx), different role -> different buckets
+    batch = spark.createDataFrame(
+        [("I", "c1", 0, "user", "v1", None,
+          T_("2025-01-01 00:00:00"), T_("2025-01-01 00:00:00"), 1),
+         ("U", "c1", 0, "assistant", "v2", None,
+          T_("2025-01-01 00:00:01"), T_("2025-01-01 00:00:01"), 2)],
+        schema=CHANGE_SCHEMA,
+    )
+    st = apply_batch(t, batch, epoch=0, dedup_strategy="fused")
+    assert st.winners == 1
+    rows = t.snapshot_df().collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "v2" and rows[0]["role"] == "assistant"
+
+
 def test_fused_plan_single_exchange(spark):
     """The fused dedup's plan has exactly ONE exchange: the raw-row
     shuffle on _bucket serves the (bucket, key) aggregation directly —

@@ -95,6 +95,127 @@ def test_list_fallback_probe_forward(server):
     assert nl.list_versions() == [0, 1, 2, 3, 4]
 
 
+def _path(store: HttpMetadataStore, name: str) -> str:
+    """Server-side path for an object under the store's prefix."""
+    return f"/{store.base_url.split('/', 3)[3]}/{name}"
+
+
+def test_transient_statuses_retry_idempotent_ops(server):
+    """429/5xx on idempotent operations (GET / unconditional PUT / HEAD)
+    retry with backoff and succeed once the fault clears."""
+    store = _fresh_store(server, retries=2, retry_backoff_s=0.001)
+    store.publish_version(0, "p0")
+    server.inject_status("GET", _path(store, "v0.json"), 503)
+    assert store.read_version(0) == "p0"
+    server.inject_status("PUT", _path(store, "version-hint.text"), 503, 500)
+    store.write_hint(0)
+    assert store.read_hint() == 0
+    server.inject_status("HEAD", _path(store, "v0.json"), 429)
+    assert store.version_exists(0) is True
+
+
+def test_transient_exhaustion_raises_oserror(server):
+    """A fault outlasting the retry budget surfaces as OSError — never as
+    FileNotFoundError (which would misread an outage as 'no such version')."""
+    store = _fresh_store(server, retries=1, retry_backoff_s=0.001)
+    store.publish_version(0, "p0")
+    server.inject_status("GET", _path(store, "v0.json"), 503, 503)  # retries+1
+    with pytest.raises(OSError) as ei:
+        store.read_version(0)
+    assert not isinstance(ei.value, FileNotFoundError)
+    assert store.read_version(0) == "p0"  # fault drained; next read is clean
+
+
+def test_lost_response_with_transient_disambiguation_get(server):
+    """Worst case compound fault: the conditional PUT's response is lost
+    after the server applied it AND the disambiguation read-back fails
+    transiently past its own retry budget. The publish loop must keep
+    retrying (outcome still unknown) and land success — not report a
+    hard failure for a write that took effect."""
+    store = _fresh_store(server, retries=1, retry_backoff_s=0.001)
+    path = _path(store, "v0.json")
+    server.fail_next_put_response(path)
+    server.inject_status("GET", path, 503, 503)  # exhausts one GET's retries
+    store.publish_version(0, "payload")
+    assert store.read_version(0) == "payload"
+
+
+def test_list_union_probes_past_ec_listing(server):
+    """An eventually-consistent LIST that misses just-published keys is
+    healed by probing forward on the strongly-consistent version keys."""
+    import json as _json
+
+    store = _fresh_store(server)
+    for v in range(4):
+        store.publish_version(v, f"v{v}")
+    store.write_hint(1)  # stale alongside the stale LIST
+
+    class StaleListStore(HttpMetadataStore):
+        def _request(self, method, url, body=None, headers=None):
+            if url.endswith("/?list"):
+                return 200, _json.dumps(["v0.json"]).encode()
+            return super()._request(method, url, body, headers)
+
+    assert StaleListStore(store.base_url).list_versions() == [0, 1, 2, 3]
+
+
+def test_probe_fallback_stale_hint_and_vacuumed_low_end(server):
+    """No LIST endpoint, the low versions vacuumed, and the hint both
+    stale and pointing at a deleted slot: hint+probe still recovers the
+    surviving chain (gap tolerance covers the hint trailing the head)."""
+    store = _fresh_store(server)
+    for v in range(7):
+        store.publish_version(v, f"v{v}")
+    store.delete_version(0)
+    store.delete_version(1)
+    store.write_hint(1)
+
+    class NoListStore(HttpMetadataStore):
+        def _request(self, method, url, body=None, headers=None):
+            if url.endswith("/?list"):
+                return 405, b""
+            return super()._request(method, url, body, headers)
+
+    assert NoListStore(store.base_url).list_versions() == [2, 3, 4, 5, 6]
+
+
+def test_commit_survives_hint_write_failure_and_reader_probes_forward(
+    spark, tmp_path, server
+):
+    """The version publish IS the commit; the hint is an advisory pointer.
+    A hint store failing past its retries must not fail the commit, and a
+    fresh reader must probe forward past the stale hint to the true
+    latest version (never serving stale state)."""
+    import datetime as dt
+
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.cdc.engine import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA
+    from etl_spark.lake.table import LakeTable
+
+    store = _fresh_store(server, retries=1, retry_backoff_s=0.001)
+    path = str(tmp_path / "tbl_hintloss")
+    t1 = LakeTable.create(
+        spark, path, TRANSCRIPT_SCHEMA, num_buckets=2, store=store
+    )
+    T_ = lambda s: dt.datetime.fromisoformat(s)
+    batch = spark.createDataFrame(
+        [("I", "c1", 0, "user", "hello", None, T_("2025-01-01 00:00:00"),
+          T_("2025-01-01 00:00:01"), 1)],
+        schema=CHANGE_SCHEMA,
+    )
+    # every hint PUT from here on fails (each write_hint = retries+1 tries)
+    server.inject_status(
+        "PUT", _path(store, "version-hint.text"), *([503] * 8)
+    )
+    s1 = apply_batch(t1, batch, epoch=0)
+    assert not s1.skipped and s1.winners == 1  # data commit succeeded
+    fresh = HttpMetadataStore(store.base_url)
+    assert fresh.read_hint() < max(fresh.list_versions())  # hint truly stale
+    t2 = LakeTable(spark, path, store=fresh)
+    assert t2.snapshot_df().count() == 1
+    assert apply_batch(t2, batch, epoch=0).skipped  # fenced on TRUE state
+
+
 def test_laketable_commit_protocol_on_http_store(spark, tmp_path, server):
     """End-to-end: a LakeTable whose ENTIRE metadata commit path runs over
     HTTP conditional PUT (data files stay on the local filesystem, as

@@ -261,6 +261,13 @@ def test_route_value_colliding_with_rest_name_rejected(spark, tmp_path):
     stats = route_batch({"user": dest}, changes, 0, route_col="role", rest=rest)
     assert set(stats) == {"user", "overflow"}
 
+    # d) DISTINCT paths but a route value named like the rest table: the
+    #    stats keys would silently overwrite each other — refuse loudly
+    d2 = CdcEngine(spark, str(tmp_path / "d" / "overflow"), num_buckets=2).table
+    rest2 = CdcEngine(spark, str(tmp_path / "e" / "overflow"), num_buckets=2).table
+    with _pytest.raises(ValueError, match="collides with the rest table"):
+        route_batch({"overflow": d2}, changes, 0, route_col="role", rest=rest2)
+
 
 def test_route_replay_no_rest_fails_loudly(spark, tmp_path):
     """rest_name=None + NULL-route non-delete rows: raise, don't drop."""
