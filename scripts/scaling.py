@@ -71,13 +71,32 @@ from etl_spark.session import get_spark
 from etl_spark.cdc.engine import CdcEngine
 spark = get_spark(f"scaling_{{cpus}}", master=master, shuffle_partitions=cpus,
                   extra_conf=extra)
-import shutil
+import shutil, traceback
 runs = []
+failed = []
+n = 0
 for rep in range(reps):
     path = os.path.join(work, f"tbl_{{cpus}}_{{rep}}")
     eng = CdcEngine(spark, path, num_buckets=32)
     t0 = time.time()
-    rs = eng.replay(log_dir)
+    try:
+        rs = eng.replay(log_dir)
+    except Exception as exc:  # noqa: BLE001
+        # A transient executor loss / write failure must not discard the
+        # level's completed reps (a 20-rep level is ~1 h of wall time).
+        # Skipping a draw only REDUCES k in the min-of-k statistic, which
+        # is conservative: the min over fewer draws can only be >= the min
+        # over all draws, never below the true quiet-host wall.
+        dt = time.time() - t0
+        failed.append({{"rep": rep, "wall_s": round(dt, 2),
+                        "error": repr(exc)[:500]}})
+        print(json.dumps({{"cpus": cpus, "rep": rep, "FAILED": repr(exc)[:500]}}),
+              file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        shutil.rmtree(path, ignore_errors=True)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(10)  # give a replacement executor time to register
+        continue
     dt = time.time() - t0
     n = sum(r.rows_in for r in rs)
     runs.append({{"wall_s": round(dt, 2), "events_per_s": round(n / dt, 1)}})
@@ -93,19 +112,21 @@ for rep in range(reps):
     # ContextCleaner between reps — off the timed path.
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
+if not runs:
+    raise SystemExit(f"all {{reps}} reps failed: {{failed}}")
 runs_sorted = sorted(runs, key=lambda r: r["wall_s"])
 # warm statistics: the first warm_skip reps are JIT/codegen warm-up
 # (measured: rep walls like 205 -> 69 -> 15 s at 32 threads) — a
 # long-running ingest never pays them, so they are excluded from the
 # warm_* stats when enough reps exist to afford it. The round-4 declared
 # method uses reps=8, warm_skip=3 (warm = reps 3-7, 0-indexed).
-warm = runs[warm_skip:] if reps >= warm_skip + 2 else runs
+warm = runs[warm_skip:] if len(runs) >= warm_skip + 2 else runs
 warm_sorted = sorted(warm, key=lambda r: r["wall_s"])
 print(json.dumps({{"cpus": cpus, "mode": mode, "events": n, "best": runs_sorted[0],
                    "median": runs_sorted[len(runs_sorted)//2],
                    "warm_best": warm_sorted[0],
                    "warm_median": warm_sorted[len(warm_sorted)//2],
-                   "all": runs}}))
+                   "all": runs, "failed_reps": failed}}))
 sys.stdout.flush()
 # Stop the session explicitly BEFORE interpreter exit: in local-cluster
 # mode the Python-exit JVM teardown races the worker/master shutdown
@@ -120,11 +141,17 @@ def run_level(
     warm_skip: int = 2,
 ) -> dict:
     script = CHILD.format(repo=repo)
-    out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), log_dir, work, str(reps), mode,
-         str(warm_skip)],
-        capture_output=True, text=True, timeout=5400,
-    )
+    # Stream the child's stderr to a per-level FILE instead of a pipe:
+    # per-rep progress lines and the full stack of any failure must
+    # survive a crash (a pipe held in memory is lost with the exception,
+    # and truncating to the last 3000 chars loses the "Caused by" root).
+    err_path = os.path.join(work, f"level_{cpus}.err")
+    with open(err_path, "w") as err_f:
+        out = subprocess.run(
+            [sys.executable, "-c", script, str(cpus), log_dir, work, str(reps),
+             mode, str(warm_skip)],
+            stdout=subprocess.PIPE, stderr=err_f, text=True, timeout=10800,
+        )
     # The measurement is the summary JSON on the child's last stdout line.
     # Accept it even when the exit code is nonzero: local-cluster teardown
     # can crash AFTER the summary is printed (worker/master shutdown-hook
@@ -143,7 +170,11 @@ def run_level(
                     file=sys.stderr,
                 )
             return result
-    raise RuntimeError(f"local[{cpus}] run failed:\n{out.stderr[-3000:]}")
+    with open(err_path) as err_f:
+        tail = err_f.read()[-8000:]
+    raise RuntimeError(
+        f"local[{cpus}] run failed (full child stderr in {err_path}):\n{tail}"
+    )
 
 
 def main() -> int:
@@ -272,11 +303,21 @@ def main() -> int:
         return 0
 
     level_reps = {lo: args.reps, hi: args.reps_hi or args.reps}
-    results = {
-        cpus: run_level(repo, cpus, log_dir, work, level_reps[cpus], mode,
-                        args.warm_skip)
-        for cpus in (lo, hi)
-    }
+    results = {}
+    for cpus in (lo, hi):
+        try:
+            results[cpus] = run_level(
+                repo, cpus, log_dir, work, level_reps[cpus], mode, args.warm_skip
+            )
+        except Exception:
+            # Don't discard a completed level: ~1 h of measurement.
+            # Dump the partial results before re-raising so the run can
+            # be continued with just the missing level.
+            if results:
+                print(json.dumps({"PARTIAL": True, "completed": results}),
+                      file=sys.stderr)
+            raise
+        print(json.dumps({"level_done": cpus, **results[cpus]}), file=sys.stderr)
 
     t8, t32 = results[lo]["best"]["events_per_s"], results[hi]["best"]["events_per_s"]
     m8, m32 = results[lo]["median"]["events_per_s"], results[hi]["median"]["events_per_s"]
