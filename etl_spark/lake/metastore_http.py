@@ -257,13 +257,25 @@ class HttpMetadataStore(MetadataStore):
         elif status not in self._NO_LIST_STATUSES:
             raise OSError(f"LIST {self.base_url} failed with HTTP {status}")
         if listed is not None:
-            # LIST may be eventually consistent (miss just-published keys);
-            # the version keys themselves are strong read-after-write, so
-            # union with a probe forward from the newest version we know of
+            # LIST may be eventually consistent — it can miss recently
+            # published keys ANYWHERE above the slots it did return, not
+            # only at the tail (it may also have caught the newest key but
+            # missed ones just below it). The version keys themselves are
+            # strong read-after-write, so union with an individual probe
+            # of every slot above the LIST's view: gap-tolerant like the
+            # no-LIST path (vacuum leaves low-end holes), and never ending
+            # below the hint (the hint is ≤ the latest published version,
+            # so slots up to it are worth probing through any gap length).
             out = set(listed)
-            v = max([self.read_hint() or 0, *[x + 1 for x in out]])
-            while self.version_exists(v):
-                out.add(v)
+            hint = self.read_hint() or 0
+            v = (max(out) + 1) if out else 0
+            misses = 0
+            while misses <= self._PROBE_GAP or v <= hint:
+                if self.version_exists(v):
+                    out.add(v)
+                    misses = 0
+                else:
+                    misses += 1
                 v += 1
             return sorted(out)
         # no LIST endpoint: hint + probe. Every slot up to the hint is
@@ -333,6 +345,7 @@ class ReferenceConditionalPutServer:
         self._lock = threading.Lock()
         self._objects: dict[str, bytes] = {}
         self._drop_puts: set[str] = set()  # paths whose next PUT response is dropped
+        self._hidden_from_list: set[str] = set()  # EC simulation: GET/HEAD see these, LIST doesn't
         #: (method, path) -> queued statuses to answer WITHOUT applying
         self._inject: dict[tuple[str, str], list[int]] = {}
 
@@ -403,7 +416,9 @@ class ReferenceConditionalPutServer:
                         names = [
                             p[len(prefix):]
                             for p in store._objects
-                            if p.startswith(prefix) and "/" not in p[len(prefix):]
+                            if p.startswith(prefix)
+                            and "/" not in p[len(prefix):]
+                            and p not in store._hidden_from_list
                         ]
                     self._reply(200, json.dumps(sorted(names)).encode())
                     return
@@ -462,3 +477,14 @@ class ReferenceConditionalPutServer:
         order WITHOUT being applied (throttle/5xx simulation)."""
         with self._lock:
             self._inject.setdefault((method, path), []).extend(statuses)
+
+    def hide_from_list(self, path: str, hidden: bool = True) -> None:
+        """Eventual-consistency simulation: while hidden, ``path`` is
+        omitted from LIST answers but GET/HEAD still serve it — the
+        "LIST lags the strongly consistent keys" behavior the client's
+        probe-union in ``list_versions`` exists for."""
+        with self._lock:
+            if hidden:
+                self._hidden_from_list.add(path)
+            else:
+                self._hidden_from_list.discard(path)

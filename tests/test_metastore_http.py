@@ -159,6 +159,24 @@ def test_list_union_probes_past_ec_listing(server):
     assert StaleListStore(store.base_url).list_versions() == [0, 1, 2, 3]
 
 
+def test_list_union_recovers_mid_range_ec_gap(server):
+    """An eventually-consistent LIST can miss keys in the MIDDLE of the
+    range it returns nothing for — e.g. it caught v0-v2 but not v3-v4,
+    while the hint already points at v5. Versions are published
+    contiguously, so every slot above the LIST's view must be probed
+    individually; starting the probe at the hint would silently drop
+    the existing v3/v4 (list-completeness contract, property 6)."""
+    store = _fresh_store(server)
+    for v in range(7):
+        store.publish_version(v, f"v{v}")
+    store.write_hint(5)  # hint trails the head by one, as after a crash
+    for v in (3, 4, 5, 6):  # LIST lags: newest keys invisible to it
+        server.hide_from_list(_path(store, f"v{v}.json"))
+    assert store.list_versions() == [0, 1, 2, 3, 4, 5, 6]
+    for v in (3, 4, 5, 6):
+        server.hide_from_list(_path(store, f"v{v}.json"), hidden=False)
+
+
 def test_probe_fallback_stale_hint_and_vacuumed_low_end(server):
     """No LIST endpoint, the low versions vacuumed, and the hint both
     stale and pointing at a deleted slot: hint+probe still recovers the
