@@ -2,12 +2,13 @@
 
 Treats image/audio/video as ``binary`` columns with a metadata struct and
 runs decode / feature-extraction as Arrow-batched ``mapInPandas`` — the
-north rule's "vectorized pandas/Arrow UDFs only" path. The actual codec
-work is STUBBED (the sandbox has no image/audio libs): ``decode_stub``
-raises ``NotImplementedError`` for real codecs and provides a
-deterministic fake for ``fake/raw`` payloads, so the Spark-side contract
-— schema, batch iteration, partition sizing — is real and tested while
-the pixel math is a drop-in.
+north rule's "vectorized pandas/Arrow UDFs only" path. Four REAL pure
+NumPy + stdlib codecs ship (24-bit BMP, 8-bit truecolor PNG, baseline
+JPEG, PCM16 WAV); only genuinely spec-heavy formats with no library in
+this sandbox (mp4/H.264, progressive JPEG, palette PNG) raise
+``NotImplementedError`` — a production build plugs Pillow/ffmpeg into
+the same ``decode_stub`` seam. ``fake/raw`` payloads decode
+deterministically so the generic pipeline stays testable end-to-end.
 
 Scale notes:
   * binary payloads ride the same parquet scan as everything else;
@@ -51,14 +52,15 @@ FEATURE_SCHEMA = T.StructType(
 def decode_stub(payload: bytes, mime: str) -> dict[str, Any]:
     """Decode a media payload to (width, height).
 
-    ``image/bmp`` and ``image/png`` are REAL pure-NumPy codecs
-    (``decode_bmp``, ``decode_png`` — the latter stdlib-zlib based, all
-    five scanline filters); ``audio/wav`` parses real RIFF/PCM
-    (``decode_wav``, dimensions n/a). Codecs needing external libs
-    (jpeg/mp4 — not in this environment) raise ``NotImplementedError``;
-    a production build plugs Pillow/ffmpeg in here. ``fake/raw``
-    payloads decode deterministically from the byte content so the
-    generic pipeline stays testable.
+    ``image/bmp``, ``image/png`` and ``image/jpeg`` are REAL pure-NumPy
+    codecs (``decode_bmp``, ``decode_png`` — stdlib-zlib, all five
+    scanline filters — and ``decode_jpeg`` — baseline T.81 DCT with
+    bitstream-supplied Huffman tables); ``audio/wav`` parses real
+    RIFF/PCM (``decode_wav``, dimensions n/a). Codecs needing external
+    libs (mp4 — not in this environment) raise ``NotImplementedError``;
+    a production build plugs ffmpeg in here. ``fake/raw`` payloads
+    decode deterministically from the byte content so the generic
+    pipeline stays testable.
     """
     if mime == "fake/raw":
         n = len(payload)
@@ -68,6 +70,9 @@ def decode_stub(payload: bytes, mime: str) -> dict[str, Any]:
         return {"width": d["width"], "height": d["height"]}
     if mime == "image/png":
         d = decode_png(payload)
+        return {"width": d["width"], "height": d["height"]}
+    if mime == "image/jpeg":
+        d = decode_jpeg(payload)
         return {"width": d["width"], "height": d["height"]}
     raise NotImplementedError(f"no codec for mime={mime!r} in this environment")
 
@@ -246,6 +251,471 @@ def decode_png(payload: bytes) -> dict[str, Any]:
     }
 
 
+# -- JPEG baseline codec (pure NumPy + stdlib — ITU-T T.81) ------------------
+#
+# Baseline sequential DCT, 8-bit, 4:4:4 (no chroma subsampling), standard
+# Annex K quantization + Huffman tables. Encoder: RGB→YCbCr (BT.601/JFIF),
+# blockwise orthonormal DCT via one einsum, quality-scaled quantization
+# (libjpeg formula), canonical Huffman entropy coding with 0xFF byte
+# stuffing. Decoder: full marker walk (multi-table DQT/DHT segments, APPn/
+# COM skip), Huffman tables built FROM the bitstream's DHT (not the
+# encoder's constants), dequantize → vectorized IDCT → YCbCr→RGB. Out of
+# scope (NotImplementedError, same policy as palette PNG): progressive
+# (SOF2), subsampled scans, restart intervals, 12-bit precision.
+# Reference parity target: the decode path a production build would get
+# from Pillow — here spec-implemented because the sandbox has no codecs.
+
+_JPEG_ZZ = [  # zigzag index -> natural (row-major) index, T.81 Figure 5
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_QL = [  # Annex K.1 luminance quantization (natural order)
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [  # Annex K.2 chrominance quantization (natural order)
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical Huffman specs: (class, table id) -> (BITS[1..16], HUFFVAL)
+_JPEG_HUFF = {
+    ("dc", 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("dc", 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("ac", 0): (
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+        [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+         0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+         0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+         0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+         0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+         0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+         0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+         0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+         0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+         0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+         0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+         0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+         0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+         0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+         0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+         0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+         0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+         0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+         0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+         0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+         0xF9, 0xFA],
+    ),
+    ("ac", 1): (
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+        [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+         0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+         0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+         0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+         0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+         0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+         0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+         0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+         0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+         0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+         0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+         0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+         0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+         0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+         0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+         0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+         0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+         0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+         0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+         0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+         0xF9, 0xFA],
+    ),
+}
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """T.81 Annex C: BITS/HUFFVAL -> {symbol: (length, code)}. Codes of
+    each length are consecutive; moving to the next length appends a 0."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_dct_mat():
+    """Orthonormal 8x8 DCT-II matrix M: forward D = M @ B @ M.T, inverse
+    B = M.T @ D @ M (M @ M.T = I, asserted by the unit test)."""
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _jpeg_qtables(quality: int):
+    """Annex K tables scaled by the libjpeg quality formula (natural order)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [
+        [min(255, max(1, (v * s + 50) // 100)) for v in base]
+        for base in (_JPEG_QL, _JPEG_QC)
+    ]
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _jpeg_encode_block(bw, zz, prev_dc, dc_codes, ac_codes) -> int:
+    """Entropy-encode one zigzag-ordered quantized block; returns its DC."""
+    dc = int(zz[0])
+    diff = dc - prev_dc
+    size = abs(diff).bit_length()
+    length, code = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    nz = [i for i in range(1, 64) if zz[i]]
+    last = nz[-1] if nz else 0
+    run = 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]  # ZRL: 16 zeros
+            bw.write(code, length)
+            run -= 16
+        size = abs(v).bit_length()
+        length, code = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < 63:
+        length, code = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg(pixels, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG at
+    4:4:4 — real DCT + quantization + Huffman, pure NumPy + stdlib."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    qtabs = _jpeg_qtables(quality)
+    m = _jpeg_dct_mat()
+
+    rgb = pixels.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    ycc = np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ],
+        axis=-1,
+    )
+    # pad to 8x8 multiples by edge replication (decoder crops back)
+    ycc = np.pad(ycc, ((0, -h % 8), (0, -w % 8), (0, 0)), mode="edge")
+    nbh, nbw = ycc.shape[0] // 8, ycc.shape[1] // 8
+    blocks = (
+        ycc.reshape(nbh, 8, nbw, 8, 3).transpose(0, 2, 4, 1, 3) - 128.0
+    )  # (nbh, nbw, 3, 8, 8)
+    coef = np.einsum("ij,abcjk,lk->abcil", m, blocks, m)
+    qmat = np.stack(
+        [np.array(qtabs[t], dtype=np.float64).reshape(8, 8) for t in (0, 1, 1)]
+    )
+    quant = np.round(coef / qmat).astype(np.int32)
+    zz = np.array(_JPEG_ZZ)
+    zigzagged = quant.reshape(nbh, nbw, 3, 64)[..., zz]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = b"".join(
+        bytes([tid]) + bytes(qtabs[tid][zz[i]] for i in range(64))
+        for tid in (0, 1)
+    )
+    out += seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, qid in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, qid])  # 1x1 sampling: 4:4:4
+    out += seg(0xC0, sof)
+    dht = b"".join(
+        bytes([(0 if kind == "dc" else 1) << 4 | tid]) + bytes(bits) + bytes(vals)
+        for (kind, tid), (bits, vals) in _JPEG_HUFF.items()
+    )
+    out += seg(0xC4, dht)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    codes = {k: _jpeg_canonical_codes(*v) for k, v in _JPEG_HUFF.items()}
+    bw = _JpegBitWriter()
+    prev = [0, 0, 0]
+    for by in range(nbh):
+        for bx in range(nbw):
+            for ci, tid in enumerate((0, 1, 1)):
+                prev[ci] = _jpeg_encode_block(
+                    bw, zigzagged[by, bx, ci], prev[ci],
+                    codes[("dc", tid)], codes[("ac", tid)],
+                )
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over unstuffed entropy-coded bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG scan")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decode(br: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t received bits to a signed coefficient."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Decode a baseline sequential 4:4:4 (or grayscale) JPEG to an
+    (h, w, 3) uint8 RGB array. Tables come from the bitstream's own
+    DQT/DHT segments; unknown APPn/COM segments are skipped."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, Any] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict[str, int]] = []
+    h = w = 0
+    restart = 0
+    scan = None
+    sel: dict[int, tuple[int, int]] = {}
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / bare RSTn
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            i = 0
+            while i < len(body):
+                pq, tid = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_JPEG_ZZ[k]] = body[i + 1 + k]
+                qt[tid] = np.array(nat, dtype=np.float64).reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                spec = _jpeg_canonical_codes(bits, vals)
+                huff[(cls, tid)] = {lc: s for s, lc in spec.items()}
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG precision")
+            for ci in range(nc):
+                cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "only 4:4:4 (1x1 sampling) JPEG scans"
+                    )
+                comps.append({"id": cid, "q": qid})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+            if restart:
+                raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:  # SOS: header, then entropy-coded data
+            ns = body[0]
+            for si in range(ns):
+                cid, tt = body[1 + 2 * si], body[2 + 2 * si]
+                sel[cid] = (tt >> 4, tt & 0xF)
+            data = bytearray()
+            while pos < len(payload):
+                byte = payload[pos]
+                if byte != 0xFF:
+                    data.append(byte)
+                    pos += 1
+                    continue
+                nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+                if nxt == 0x00:  # stuffed 0xFF
+                    data.append(0xFF)
+                    pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise NotImplementedError("JPEG restart markers")
+                else:
+                    break  # next real marker (EOI) — leave pos on it
+            scan = bytes(data)
+    if not comps or scan is None:
+        raise ValueError("missing SOF/SOS in JPEG payload")
+
+    nc = len(comps)
+    nbh, nbw = (h + 7) // 8, (w + 7) // 8
+    coef = np.zeros((nbh, nbw, nc, 8, 8))
+    zz = np.array(_JPEG_ZZ)
+    br = _JpegBitReader(scan)
+    prev = [0] * nc
+    for by in range(nbh):
+        for bx in range(nbw):
+            for ci, comp in enumerate(comps):
+                dc_id, ac_id = sel[comp["id"]]
+                t = _jpeg_huff_decode(br, huff[(0, dc_id)])
+                prev[ci] += _jpeg_extend(br.bits(t), t)
+                blk = np.zeros(64)
+                blk[0] = prev[ci]
+                k = 1
+                while k < 64:
+                    sym = _jpeg_huff_decode(br, huff[(1, ac_id)])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError(f"bad JPEG AC symbol {sym:#x}")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC coefficient overflow")
+                    blk[k] = _jpeg_extend(br.bits(size), size)
+                    k += 1
+                nat = np.zeros(64)
+                nat[zz] = blk
+                coef[by, bx, ci] = nat.reshape(8, 8) * qt[comp["q"]]
+
+    m = _jpeg_dct_mat()
+    spatial = np.einsum("ji,abcjk,kl->abcil", m, coef, m) + 128.0
+    img = spatial.transpose(0, 3, 1, 4, 2).reshape(nbh * 8, nbw * 8, nc)
+    img = img[:h, :w]
+    if nc == 1:
+        rgb = np.repeat(img, 3, axis=-1)
+    else:
+        y, cb, cr = img[..., 0], img[..., 1] - 128.0, img[..., 2] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> dict[str, Any]:
+    """Decode a baseline JPEG: dimensions + pixel statistics, matching
+    ``decode_bmp``/``decode_png``'s output shape (stats are approximate —
+    JPEG is lossy — but dimensions are exact)."""
+    rgb = decode_jpeg_pixels(payload)
+    return {
+        "width": int(rgb.shape[1]),
+        "height": int(rgb.shape[0]),
+        "mean_px": float(rgb.mean()),
+        "top_row_mean": float(rgb[0].mean()),
+    }
+
+
 def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
     """Encode an int16 NumPy array as mono 16-bit PCM WAV (RIFF)."""
     import struct
@@ -344,7 +814,13 @@ def _planted_pixels(L: int):
 
 
 def _media_from_docs(docs: DataFrame, encoder, mime: str, id_col: str,
-                     text_col: str) -> DataFrame:
+                     text_col: str, min_partitions: int = 0) -> DataFrame:
+    """``min_partitions`` matters for CPU-heavy encoders (JPEG): a small
+    parquet reads as one split, which would serialize the Python-side
+    codec work onto one core — repartitioning a narrow (id, text)
+    projection before a CPU-bound Arrow stage is the standard trade
+    (one cheap shuffle buys full-cluster parallelism for the UDF)."""
+
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
@@ -359,9 +835,10 @@ def _media_from_docs(docs: DataFrame, encoder, mime: str, id_col: str,
                 }
             )
 
-    return docs.select(
-        F.col(id_col), F.col(text_col).alias("text")
-    ).mapInPandas(_encode, MEDIA_SCHEMA)
+    narrow = docs.select(F.col(id_col), F.col(text_col).alias("text"))
+    if min_partitions and narrow.rdd.getNumPartitions() < min_partitions:
+        narrow = narrow.repartition(min_partitions)
+    return narrow.mapInPandas(_encode, MEDIA_SCHEMA)
 
 
 def bmp_from_docs(docs: DataFrame, id_col: str = "doc_id",
@@ -379,6 +856,20 @@ def png_from_docs(docs: DataFrame, id_col: str = "doc_id",
     real zlib-deflate PNG — same analytic oracle verifies the inflate +
     unfilter path."""
     return _media_from_docs(docs, encode_png, "image/png", id_col, text_col)
+
+
+def jpeg_from_docs(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", quality: int = 95,
+                   min_partitions: int = 0) -> DataFrame:
+    """Planted JPEG fixture: same ``_planted_pixels`` formula through the
+    real baseline DCT encoder. JPEG is lossy, so the analytic oracle can
+    check dimensions exactly and pixel stats only to a tolerance — see
+    ``media_decode_jpeg``. Pass ``min_partitions`` when the input is a
+    few small splits: the DCT+Huffman work is Python-side CPU."""
+    return _media_from_docs(
+        docs, lambda px: encode_jpeg(px, quality), "image/jpeg",
+        id_col, text_col, min_partitions=min_partitions,
+    )
 
 
 def _decode_features(media: DataFrame, codec) -> DataFrame:
@@ -406,6 +897,11 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
 def decode_png_features(media: DataFrame) -> DataFrame:
     """Arrow-batched real-codec decode: dimensions + pixel stats per PNG."""
     return _decode_features(media, decode_png)
+
+
+def decode_jpeg_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched real-codec decode: dimensions + pixel stats per JPEG."""
+    return _decode_features(media, decode_jpeg)
 
 
 def docs_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

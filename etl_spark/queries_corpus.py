@@ -525,6 +525,52 @@ def media_decode_png(spark, sf_dir):
     return decode_png_features(png_from_docs(_t(spark, sf_dir, "documents")))
 
 
+# Planted pixels through the real baseline JPEG codec (pure-NumPy DCT +
+# Annex-K Huffman). JPEG is lossy, so the exact-hash gate checks decoded
+# DIMENSIONS against the closed form and the pixel stats as tolerance
+# booleans: the Spark side compares the DECODED mean/top-row against the
+# analytic values (|err| < 1.0 — measured worst case 0.33 over 3000
+# lengths at quality 95) and must output literal true to match the oracle.
+_MEDIA_DECODE_JPEG_ORACLE = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents)
+SELECT doc_id AS media_id,
+       CAST(4 + L % 29 AS INTEGER) AS width,
+       CAST(3 + L % 13 AS INTEGER) AS height,
+       TRUE AS mean_within_1,
+       TRUE AS top_within_1
+FROM d
+"""
+
+
+@register("media_decode_jpeg", _MEDIA_DECODE_JPEG_ORACLE)
+def media_decode_jpeg(spark, sf_dir):
+    from .operators.multimodal import decode_jpeg_features, jpeg_from_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = decode_jpeg_features(
+        jpeg_from_docs(docs, min_partitions=spark.sparkContext.defaultParallelism)
+    )
+    expected = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length("text").cast("long").alias("L"),
+    )
+    L = F.col("L")
+    h = (F.lit(3) + L % 13).cast("int")
+    exp_mean = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), (L % 13 + 2)),
+        F.lit(0.0),
+        lambda acc, r: acc + ((r * 13 + L) % 256).cast("double"),
+    ) / h.cast("double")
+    exp_top = (L % 256).cast("double")
+    return feats.join(expected, "media_id").select(
+        "media_id",
+        "width",
+        "height",
+        (F.abs(F.col("mean_px") - exp_mean) < 1.0).alias("mean_within_1"),
+        (F.abs(F.col("top_row_mean") - exp_top) < 1.0).alias("top_within_1"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Dataset-preparation family (operators/mlprep.py): deterministic split,
 # stratified sampling, PII redaction, greedy sequence packing, near-dup

@@ -153,10 +153,16 @@ SUITE_SPECS: dict[str, tuple[dict, list]] = {
                            {"media_id": "media_id", "width": "width",
                             "height": "height", "mean_px": "mean_px",
                             "top_row_mean": "top_row_mean"}),
+            "decode_jpeg": ("media_decode_jpeg",
+                            {"media_id": "media_id", "width": "width",
+                             "height": "height",
+                             "mean_within_1": "mean_within_1",
+                             "top_within_1": "top_within_1"}),
         },
         [("media_id", "d"), ("mime", "s"), ("n_bytes", "d"), ("width", "d"),
          ("height", "d"), ("checksum", "s"), ("mean_px", "d"),
-         ("top_row_mean", "d")],
+         ("top_row_mean", "d"), ("mean_within_1", "s"),
+         ("top_within_1", "s")],
     ),
 }
 

@@ -393,6 +393,164 @@ def test_png_decoder_all_filters_and_rgba():
     assert abs(d4["mean_px"] - float(px4[:, :, :3].mean())) < 1e-9
 
 
+def _jpeg_segments(buf: bytes):
+    """Split a JPEG into (marker, raw_segment_bytes) pairs; the entropy-
+    coded scan rides inside the SOS pair (through EOI). Test-local parser
+    so splice tests don't reuse the decoder's own walk."""
+    assert buf[:2] == b"\xff\xd8"
+    segs, pos = [("SOI", buf[:2])], 2
+    while pos < len(buf):
+        marker = buf[pos + 1]
+        if marker == 0xD9:
+            segs.append(("EOI", buf[pos:]))
+            break
+        size = 2 + int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        if marker == 0xDA:  # SOS: runs to EOI in our single-scan streams
+            segs.append(("SOS", buf[pos:-2]))
+            pos = len(buf) - 2
+            continue
+        segs.append((f"{marker:02x}", buf[pos : pos + size]))
+        pos += size
+    return segs
+
+
+def test_jpeg_codec_roundtrip():
+    """Pure-NumPy baseline JPEG (ITU-T T.81): orthonormal DCT, constant
+    image near-exact, smooth gradient within quantization error at q95,
+    non-multiple-of-8 dimensions recovered exactly, byte stuffing
+    exercised (seed chosen so the scan contains a stuffed 0xFF 0x00)."""
+    import numpy as np
+
+    from etl_spark.operators.multimodal import (
+        _jpeg_dct_mat,
+        decode_jpeg,
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    m = _jpeg_dct_mat()
+    assert np.allclose(m @ m.T, np.eye(8), atol=1e-12)
+
+    const = np.full((13, 21, 3), 137, dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(const, quality=90))
+    assert out.shape == (13, 21, 3)
+    assert int(np.abs(out.astype(int) - 137).max()) == 0
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    grad = np.stack(
+        [(yy * 3 + 20) % 256, (xx * 2 + 60) % 256, ((yy + xx) * 2 + 90) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(grad, quality=95))
+    assert int(np.abs(out.astype(int) - grad.astype(int)).max()) <= 2
+
+    d = decode_jpeg(encode_jpeg(grad, quality=95))
+    assert (d["width"], d["height"]) == (40, 24)
+    assert abs(d["mean_px"] - float(grad.mean())) < 1.0
+
+    # seed 0 at q50 produces a stuffed 0xFF 0x00 in the entropy scan
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    buf = encode_jpeg(noise, quality=50)
+    scan = dict(_jpeg_segments(buf))["SOS"]
+    assert b"\xff\x00" in scan
+    out = decode_jpeg_pixels(buf)
+    assert out.shape == (16, 16, 3)
+
+
+def test_jpeg_canonical_codes_handcheck():
+    """The Annex-C canonical code construction against the well-known
+    hand-derivable DC-luminance codes (independent of the builder): with
+    BITS = [0,1,5,1,1,1,1,1,1,0,...], symbol 0 gets the single 2-bit code
+    00, symbols 1-5 the 3-bit codes 010..110, and each longer symbol
+    appends a zero to an all-ones prefix."""
+    from etl_spark.operators.multimodal import _JPEG_HUFF, _jpeg_canonical_codes
+
+    codes = _jpeg_canonical_codes(*_JPEG_HUFF[("dc", 0)])
+    expect = {
+        0: (2, 0b00),
+        1: (3, 0b010), 2: (3, 0b011), 3: (3, 0b100),
+        4: (3, 0b101), 5: (3, 0b110),
+        6: (4, 0b1110), 7: (5, 0b11110), 8: (6, 0b111110),
+        9: (7, 0b1111110), 10: (8, 0b11111110), 11: (9, 0b111111110),
+    }
+    assert codes == expect
+
+
+def test_jpeg_decoder_marker_robustness():
+    """Decoder vs re-arranged (still spec-valid) streams: COM/APPn
+    segments spliced in, the two-table DQT split into two segments, the
+    four-table DHT split and reordered — pixels must be identical to the
+    original stream's. Unsupported variants (progressive SOF2, restart
+    intervals, truncated payloads) fail loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_spark.operators.multimodal import decode_jpeg_pixels, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (11, 19, 3), dtype=np.uint8)
+    buf = encode_jpeg(px, quality=80)
+    base = decode_jpeg_pixels(buf)
+    segs = _jpeg_segments(buf)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def rebuild(parts):
+        return b"".join(parts)
+
+    # 1) splice COM + APP1 after APP0
+    by_tag = {t: s for t, s in segs}
+    spliced = rebuild([
+        by_tag["SOI"], by_tag["e0"],
+        seg(0xFE, b"comment: spliced by test"),
+        seg(0xE1, b"Exif\x00\x00junk"),
+        by_tag["db"], by_tag["c0"], by_tag["c4"], by_tag["SOS"], by_tag["EOI"],
+    ])
+    assert np.array_equal(decode_jpeg_pixels(spliced), base)
+
+    # 2) split DQT (two tables in one segment) into two DQT segments
+    dqt_body = by_tag["db"][4:]
+    assert len(dqt_body) == 130
+    dqt_a, dqt_b = seg(0xDB, dqt_body[:65]), seg(0xDB, dqt_body[65:])
+    # 3) split DHT into one segment per table and emit them reversed
+    dht_body, dhts, i = by_tag["c4"][4:], [], 0
+    while i < len(dht_body):
+        n = sum(dht_body[i + 1 : i + 17])
+        dhts.append(seg(0xC4, dht_body[i : i + 17 + n]))
+        i += 17 + n
+    assert len(dhts) == 4
+    rearranged = rebuild([
+        by_tag["SOI"], by_tag["e0"], dqt_b, dqt_a, by_tag["c0"],
+        *reversed(dhts), by_tag["SOS"], by_tag["EOI"],
+    ])
+    assert np.array_equal(decode_jpeg_pixels(rearranged), base)
+
+    # unsupported: progressive (SOF2), restart intervals, junk payloads
+    sof2 = by_tag["c0"].replace(b"\xff\xc0", b"\xff\xc2", 1)
+    progressive = rebuild(
+        [by_tag["SOI"], by_tag["e0"], by_tag["db"], sof2,
+         by_tag["c4"], by_tag["SOS"], by_tag["EOI"]]
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(progressive)
+    with_dri = rebuild(
+        [by_tag["SOI"], by_tag["e0"], by_tag["db"], by_tag["c0"],
+         seg(0xDD, struct.pack(">H", 4)),
+         by_tag["c4"], by_tag["SOS"], by_tag["EOI"]]
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(with_dri)
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"not a jpeg")
+    with pytest.raises(ValueError):
+        # truncated mid-scan: bits exhaust before the last MCU decodes
+        decode_jpeg_pixels(buf[: buf.find(b"\xff\xda") + 30])
+
+
 def test_wav_codec_roundtrip():
     import numpy as np
 
