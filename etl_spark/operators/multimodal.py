@@ -74,6 +74,9 @@ def decode_stub(payload: bytes, mime: str) -> dict[str, Any]:
     if mime == "image/jpeg":
         d = decode_jpeg(payload)
         return {"width": d["width"], "height": d["height"]}
+    if mime == "video/mp4":
+        d = decode_mp4_meta(payload)
+        return {"width": d["width"], "height": d["height"]}
     raise NotImplementedError(f"no codec for mime={mime!r} in this environment")
 
 
@@ -716,6 +719,148 @@ def decode_jpeg(payload: bytes) -> dict[str, Any]:
     }
 
 
+# -- MP4 / ISO-BMFF container metadata (pure stdlib — ISO/IEC 14496-12) ------
+#
+# Video FRAME decode (H.264/H.265) genuinely needs ffmpeg and stays behind
+# NotImplementedError — but the container metadata a pipeline filters on
+# (dimensions, duration, sample count) is plain length-prefixed box
+# structure, parsed here for real: box walk with 64-bit largesize and
+# size-0 (to end-of-file) handling, version-0/1 mvhd/tkhd/mdhd, unknown
+# boxes skipped. The encoder writes a minimal spec-shaped ftyp+moov+mdat
+# so the decoder is testable against adversarially rearranged containers.
+
+
+def _mp4_box(tag: bytes, body: bytes, largesize: bool = False) -> bytes:
+    import struct
+
+    if largesize:
+        return struct.pack(">I4sQ", 1, tag, 16 + len(body)) + body
+    return struct.pack(">I4s", 8 + len(body), tag) + body
+
+
+def encode_mp4_stub(width: int, height: int, duration_ms: int,
+                    n_samples: int, timescale: int = 1000) -> bytes:
+    """Write a minimal valid ISO-BMFF container: ftyp + moov
+    (mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl) + a stub mdat. The sample
+    table describes ``n_samples`` dummy samples; no codec payload — this
+    is the container a metadata pipeline sees, not playable video."""
+    import struct
+
+    dur = duration_ms * timescale // 1000
+    mvhd = _mp4_box(b"mvhd", struct.pack(
+        ">B3xIIII", 0, 0, 0, timescale, dur) + b"\x00" * 80)
+    unity = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    tkhd = _mp4_box(b"tkhd", struct.pack(
+        ">B3BIII4xI", 0, 0, 0, 3, 0, 0, 1, dur) + b"\x00" * 16 + unity
+        + struct.pack(">II", width << 16, height << 16))
+    mdhd = _mp4_box(b"mdhd", struct.pack(
+        ">B3xIIII2H", 0, 0, 0, timescale, dur, 0x55C4, 0))
+    hdlr = _mp4_box(b"hdlr", struct.pack(">B3xI4s12x", 0, 0, b"vide") + b"\x00")
+    stsd = _mp4_box(b"stsd", struct.pack(">B3xI", 0, 0))  # 0 entries: stub
+    stts = _mp4_box(b"stts", struct.pack(">B3xIII", 0, 1, n_samples, 1))
+    stsc = _mp4_box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n_samples, 1))
+    stsz = _mp4_box(b"stsz", struct.pack(">B3xII", 0, 4, n_samples))
+    stco = _mp4_box(b"stco", struct.pack(">B3xII", 0, 1, 0))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _mp4_box(b"vmhd", struct.pack(">B3B4H", 0, 0, 0, 1, 0, 0, 0, 0))
+    dref = _mp4_box(b"dref", struct.pack(">B3xI", 0, 1)
+                    + _mp4_box(b"url ", struct.pack(">B3B", 0, 0, 0, 1)))
+    minf = _mp4_box(b"minf", vmhd + _mp4_box(b"dinf", dref) + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _mp4_box(b"mdat", b"\x00" * (4 * max(n_samples, 1)))
+    return ftyp + moov + mdat
+
+
+def _mp4_walk(buf: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) for each box in buf[start:end],
+    handling largesize (size==1 → 64-bit) and size==0 (to end)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size, tag = struct.unpack_from(">I4s", buf, pos)
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+            body = pos + 8
+        else:
+            body = pos + 8
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"bad MP4 box size at offset {pos}")
+        yield tag, body, pos + size
+        pos += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, tag: bytes):
+    for t, b, e in _mp4_walk(buf, start, end):
+        if t == tag:
+            return b, e
+    return None
+
+
+def decode_mp4_meta(payload: bytes) -> dict[str, Any]:
+    """Parse ISO-BMFF container metadata: dimensions from the first video
+    trak's tkhd (16.16 fixed point), duration from mvhd (version 0 or 1),
+    sample count from stsz. Frame decode is NOT attempted."""
+    import struct
+
+    head = _mp4_find(payload, 0, len(payload), b"ftyp")
+    if head is None:
+        raise ValueError("not an ISO-BMFF payload (no ftyp box)")
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    mvhd = _mp4_find(payload, *moov, b"mvhd")
+    if mvhd is None:
+        raise ValueError("no mvhd box")
+    ver = payload[mvhd[0]]
+    if ver == 1:
+        _, _, timescale, dur = struct.unpack_from(">QQIQ", payload, mvhd[0] + 4)
+    else:
+        _, _, timescale, dur = struct.unpack_from(">IIII", payload, mvhd[0] + 4)
+    width = height = n_samples = 0
+    for tag, b, e in _mp4_walk(payload, *moov):
+        if tag != b"trak":
+            continue
+        tkhd = _mp4_find(payload, b, e, b"tkhd")
+        if tkhd is None:
+            continue
+        # width/height are the LAST 8 bytes of tkhd regardless of version
+        w_fx, h_fx = struct.unpack_from(">II", payload, tkhd[1] - 8)
+        if w_fx == 0 or h_fx == 0:
+            continue  # non-video track
+        width, height = w_fx >> 16, h_fx >> 16
+        mdia = _mp4_find(payload, b, e, b"mdia")
+        if mdia:
+            minf = _mp4_find(payload, *mdia, b"minf")
+            stbl = minf and _mp4_find(payload, *minf, b"stbl")
+            stsz = stbl and _mp4_find(payload, *stbl, b"stsz")
+            if stsz:
+                _fixed, n_samples = struct.unpack_from(
+                    ">II", payload, stsz[0] + 4)
+        break
+    if not width:
+        raise ValueError("no video track (tkhd with nonzero dimensions)")
+    return {
+        "width": int(width),
+        "height": int(height),
+        "duration_s": round(dur / timescale, 4) if timescale else 0.0,
+        "n_samples": int(n_samples),
+    }
+
+
+def decode_mp4_frames(payload: bytes):
+    """Frame-level decode needs a real video codec (H.264/H.265) — not in
+    this environment; a production build plugs ffmpeg in here. Container
+    METADATA is fully parsed by ``decode_mp4_meta``."""
+    raise NotImplementedError("video frame decode requires ffmpeg (not in env)")
+
+
 def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
     """Encode an int16 NumPy array as mono 16-bit PCM WAV (RIFF)."""
     import struct
@@ -902,6 +1047,61 @@ def decode_png_features(media: DataFrame) -> DataFrame:
 def decode_jpeg_features(media: DataFrame) -> DataFrame:
     """Arrow-batched real-codec decode: dimensions + pixel stats per JPEG."""
     return _decode_features(media, decode_jpeg)
+
+
+MP4_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+    ]
+)
+
+
+def mp4_from_docs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Planted MP4 fixture: per document, a minimal real ISO-BMFF
+    container whose tkhd dimensions, mvhd duration, and stsz sample
+    count are closed-form in the text byte length L — container
+    metadata is lossless, so the DuckDB oracle checks all four exactly."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                L = len(str(text).encode("utf-8"))
+                payloads.append(encode_mp4_stub(
+                    4 + L % 29, 3 + L % 13, 1000 + L % 7919, 1 + L % 240))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "mime": "video/mp4",
+                 "payload": payloads}
+            )
+
+    return docs.select(
+        F.col(id_col), F.col(text_col).alias("text")
+    ).mapInPandas(_encode, MEDIA_SCHEMA)
+
+
+def decode_mp4_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched container-metadata extraction per MP4 payload."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_mp4_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series([m["width"] for m in metas], dtype="int32"),
+                    "height": pd.Series([m["height"] for m in metas], dtype="int32"),
+                    "duration_s": [m["duration_s"] for m in metas],
+                    "n_samples": pd.Series(
+                        [m["n_samples"] for m in metas], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(_decode, MP4_META_SCHEMA)
 
 
 def docs_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -542,6 +542,28 @@ FROM d
 """
 
 
+# ISO-BMFF (MP4) container metadata: box-walk parser over a planted
+# minimal container — tkhd dimensions, mvhd duration, stsz sample count
+# are all lossless container fields, closed-form in L, checked exactly.
+# Frame decode (H.264) genuinely needs ffmpeg and stays NotImplementedError.
+_MEDIA_DECODE_MP4_ORACLE = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents)
+SELECT doc_id AS media_id,
+       CAST(4 + L % 29 AS INTEGER) AS width,
+       CAST(3 + L % 13 AS INTEGER) AS height,
+       round((1000 + L % 7919) / 1000.0, 4) AS duration_s,
+       CAST(1 + L % 240 AS INTEGER) AS n_samples
+FROM d
+"""
+
+
+@register("media_decode_mp4", _MEDIA_DECODE_MP4_ORACLE)
+def media_decode_mp4(spark, sf_dir):
+    from .operators.multimodal import decode_mp4_features, mp4_from_docs
+
+    return decode_mp4_features(mp4_from_docs(_t(spark, sf_dir, "documents")))
+
+
 @register("media_decode_jpeg", _MEDIA_DECODE_JPEG_ORACLE)
 def media_decode_jpeg(spark, sf_dir):
     from .operators.multimodal import decode_jpeg_features, jpeg_from_docs

@@ -158,11 +158,15 @@ SUITE_SPECS: dict[str, tuple[dict, list]] = {
                              "height": "height",
                              "mean_within_1": "mean_within_1",
                              "top_within_1": "top_within_1"}),
+            "decode_mp4": ("media_decode_mp4",
+                           {"media_id": "media_id", "width": "width",
+                            "height": "height", "duration_s": "duration_s",
+                            "n_samples": "n_samples"}),
         },
         [("media_id", "d"), ("mime", "s"), ("n_bytes", "d"), ("width", "d"),
          ("height", "d"), ("checksum", "s"), ("mean_px", "d"),
          ("top_row_mean", "d"), ("mean_within_1", "s"),
-         ("top_within_1", "s")],
+         ("top_within_1", "s"), ("duration_s", "d"), ("n_samples", "d")],
     ),
 }
 

@@ -551,6 +551,50 @@ def test_jpeg_decoder_marker_robustness():
         decode_jpeg_pixels(buf[: buf.find(b"\xff\xda") + 30])
 
 
+def test_mp4_container_metadata():
+    """ISO-BMFF box walk: dimensions/duration/sample-count recovered from
+    the planted container; robust to interleaved free boxes, a 64-bit
+    largesize mdat, and a version-1 (64-bit times) mvhd; loud ValueError
+    on junk and NotImplementedError for frame decode."""
+    import struct
+
+    import pytest
+
+    from etl_spark.operators.multimodal import (
+        _mp4_box,
+        decode_mp4_frames,
+        decode_mp4_meta,
+        encode_mp4_stub,
+    )
+
+    buf = encode_mp4_stub(640, 360, 12_345, 300)
+    want = {"width": 640, "height": 360, "duration_s": 12.345, "n_samples": 300}
+    assert decode_mp4_meta(buf) == want
+
+    fsz = struct.unpack_from(">I", buf, 0)[0]
+    ftyp, rest = buf[:fsz], buf[fsz:]
+    msz = struct.unpack_from(">I", rest, 0)[0]
+    moov = rest[:msz]
+    free = _mp4_box(b"free", b"x" * 17)
+    large_mdat = _mp4_box(b"mdat", b"\x00" * 64, largesize=True)
+    assert decode_mp4_meta(ftyp + free + moov + free + large_mdat) == want
+
+    # version-1 mvhd (64-bit creation/modification/duration)
+    mvhd_v1 = _mp4_box(
+        b"mvhd", struct.pack(">B3xQQIQ", 1, 0, 0, 1000, 12_345) + b"\x00" * 80
+    )
+    mbody = moov[8:]
+    trak = mbody[struct.unpack_from(">I", mbody, 0)[0]:]
+    assert decode_mp4_meta(ftyp + _mp4_box(b"moov", mvhd_v1 + trak)) == want
+
+    with pytest.raises(ValueError):
+        decode_mp4_meta(b"\x00\x00\x00\x08junk")  # valid box walk, no ftyp
+    with pytest.raises(ValueError):
+        decode_mp4_meta(ftyp)  # no moov
+    with pytest.raises(NotImplementedError):
+        decode_mp4_frames(buf)
+
+
 def test_wav_codec_roundtrip():
     import numpy as np
 
