@@ -2,10 +2,11 @@
 
 Treats image/audio/video as ``binary`` columns with a metadata struct and
 runs decode / feature-extraction as Arrow-batched ``mapInPandas`` — the
-north rule's "vectorized pandas/Arrow UDFs only" path. Four REAL pure
-NumPy + stdlib codecs ship (24-bit BMP, 8-bit truecolor PNG, baseline
-JPEG, PCM16 WAV); only genuinely spec-heavy formats with no library in
-this sandbox (mp4/H.264, progressive JPEG, palette PNG) raise
+north rule's "vectorized pandas/Arrow UDFs only" path. Five REAL pure
+NumPy + stdlib codecs ship (24-bit BMP; PNG with grayscale/truecolor/
+palette/RGBA + Adam7 interlace; baseline JPEG; PCM16 WAV; MP4/ISO-BMFF
+container metadata); only codec work with no library in this sandbox
+(H.264 frame decode, progressive JPEG, 16-bit PNG) raises
 ``NotImplementedError`` — a production build plugs Pillow/ffmpeg into
 the same ``decode_stub`` seam. ``fake/raw`` payloads decode
 deterministically so the generic pipeline stays testable end-to-end.
@@ -169,67 +170,38 @@ def encode_png(pixels) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> dict[str, Any]:
-    """Decode an 8-bit truecolor (RGB/RGBA) PNG: dimensions + pixel
-    statistics, matching ``decode_bmp``'s output shape.
-
-    Implements the spec's full scanline unfiltering: None and Up are
-    vectorized row ops; Sub is a per-row ``cumsum`` (byte addition mod
-    256 is associative, so the running sum IS the reconstruction);
-    Average/Paeth carry a true left-pixel dependency and fall back to a
-    per-pixel column walk vectorized over channels. Interlace
-    (Adam7) and palette/grayscale color types are out of scope —
-    ``NotImplementedError``, same policy as non-24-bit BMP."""
-    import struct
-    import zlib
-
+def _png_unfilter(raw, nrows: int, rowbytes: int, fbpp: int):
+    """Reconstruct ``nrows`` filtered scanlines of ``rowbytes`` bytes each
+    (``fbpp`` = filter bytes-per-pixel, ≥1 per spec even for sub-byte
+    depths). None and Up are vectorized row ops; Sub is a per-row
+    ``cumsum`` (byte addition mod 256 is associative, so the running sum
+    IS the reconstruction); Average/Paeth carry a true left-pixel
+    dependency and fall back to a per-pixel column walk vectorized over
+    byte lanes."""
     import numpy as np
 
-    if payload[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, meta = len(_PNG_SIG), [], None
-    while pos + 8 <= len(payload):
-        size, tag = struct.unpack_from(">I4s", payload, pos)
-        body = payload[pos + 8 : pos + 8 + size]
-        if tag == b"IHDR":
-            meta = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + size  # len + tag + crc
-    if meta is None or not idat:
-        raise ValueError("missing IHDR/IDAT chunk")
-    w, h, depth, color, _comp, _filt, interlace = meta
-    if depth != 8 or color not in (2, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"only 8-bit truecolor non-interlaced PNG "
-            f"(got depth={depth}, color={color}, interlace={interlace})"
-        )
-    bpp = 3 if color == 2 else 4
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    raw = raw.reshape(h, 1 + w * bpp)
+    raw = raw.reshape(nrows, 1 + rowbytes)
     ftypes, lines = raw[:, 0], raw[:, 1:]
-    out = np.zeros((h, w * bpp), dtype=np.uint8)
-    for y in range(h):
+    lanes = rowbytes // fbpp
+    out = np.zeros((nrows, rowbytes), dtype=np.uint8)
+    for y in range(nrows):
         f, line = int(ftypes[y]), lines[y]
-        prior = out[y - 1] if y else np.zeros(w * bpp, dtype=np.uint8)
+        prior = out[y - 1] if y else np.zeros(rowbytes, dtype=np.uint8)
         if f == 0:  # None
             out[y] = line
         elif f == 1:  # Sub: cumsum along the row per byte lane
             out[y] = np.cumsum(
-                line.reshape(w, bpp).astype(np.uint32), axis=0
+                line.reshape(lanes, fbpp).astype(np.uint32), axis=0
             ).astype(np.uint8).reshape(-1)
         elif f == 2:  # Up
             out[y] = line + prior
         elif f in (3, 4):  # Average / Paeth: left dependency -> column walk
-            row = out[y]
-            pr = prior.reshape(w, bpp).astype(np.int32)
-            ln = line.reshape(w, bpp).astype(np.int32)
-            rw = row.reshape(w, bpp)
-            left = np.zeros(bpp, dtype=np.int32)
-            ul = np.zeros(bpp, dtype=np.int32)
-            for x in range(w):
+            pr = prior.reshape(lanes, fbpp).astype(np.int32)
+            ln = line.reshape(lanes, fbpp).astype(np.int32)
+            rw = out[y].reshape(lanes, fbpp)
+            left = np.zeros(fbpp, dtype=np.int32)
+            ul = np.zeros(fbpp, dtype=np.int32)
+            for x in range(lanes):
                 b = pr[x]
                 if f == 3:
                     val = ln[x] + ((left + b) >> 1)
@@ -245,12 +217,109 @@ def decode_png(payload: bytes) -> dict[str, Any]:
                 ul = b
         else:
             raise ValueError(f"bad PNG filter type {f}")
-    rows = out.reshape(h, w, bpp)[:, :, :3]  # stats over RGB, alpha ignored
+    return out
+
+
+#: Adam7 pass origins and strides: (x0, y0, dx, dy)
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_rows_to_pixels(rows, pw: int, channels: int, depth: int, plte):
+    """Expand unfiltered scanline bytes into (ph, pw, 3) RGB uint8:
+    bit-unpack sub-byte depths, apply the PLTE lookup for indexed color,
+    replicate grayscale, drop alpha."""
+    import numpy as np
+
+    ph = rows.shape[0]
+    if depth == 8:
+        px = rows.reshape(ph, -1)[:, : pw * channels].reshape(ph, pw, channels)
+    else:  # 1/2/4-bit (palette or grayscale): unpack bit groups per row
+        bits = np.unpackbits(rows, axis=1)[:, : pw * depth].reshape(
+            ph, pw, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        px = (bits * weights).sum(axis=2).astype(np.uint8)[..., None]
+        if plte is None and channels == 1:  # sub-byte grayscale: scale to 8-bit
+            px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+                np.uint8)
+    if plte is not None:
+        return plte[px[..., 0]]
+    if px.shape[2] <= 2:  # grayscale / gray+alpha: replicate luma
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGB / RGBA: stats over RGB, alpha ignored
+
+
+def decode_png(payload: bytes) -> dict[str, Any]:
+    """Decode a PNG (W3C spec): dimensions + pixel statistics, matching
+    ``decode_bmp``'s output shape. Supports color types 0 (grayscale),
+    2 (truecolor), 3 (palette, bit depth 1/2/4/8), 6 (RGBA), all five
+    scanline filters, and Adam7 interlacing — each interlace pass is an
+    independently filtered sub-image scattered back on its (origin,
+    stride) grid. Out of scope: 16-bit depth (``NotImplementedError``,
+    same policy as non-24-bit BMP)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta, plte = len(_PNG_SIG), [], None, None
+    while pos + 8 <= len(payload):
+        size, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + crc
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, _comp, _filt, interlace = meta
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None or depth == 16 or (depth < 8 and color not in (0, 3)):
+        raise NotImplementedError(
+            f"unsupported PNG variant (depth={depth}, color={color})"
+        )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    if color != 3:
+        plte = None
+    fbpp = max(1, channels * depth // 8)
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+
+    def rowbytes(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    if interlace == 0:
+        rows = _png_unfilter(raw, h, rowbytes(w), fbpp)
+        out[:] = _png_rows_to_pixels(rows, w, channels, depth, plte)
+    elif interlace == 1:  # Adam7: 7 independently filtered sub-images
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw, ph = (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            rb = rowbytes(pw)
+            sub = raw[off : off + ph * (1 + rb)]
+            off += ph * (1 + rb)
+            rows = _png_unfilter(sub, ph, rb, fbpp)
+            out[y0::dy, x0::dx] = _png_rows_to_pixels(
+                rows, pw, channels, depth, plte)
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
     return {
         "width": int(w),
         "height": int(h),
-        "mean_px": float(rows.mean()),
-        "top_row_mean": float(rows[0].mean()),
+        "mean_px": float(out.mean()),
+        "top_row_mean": float(out[0].mean()),
     }
 
 
@@ -587,6 +656,8 @@ def decode_jpeg_pixels(payload: bytes):
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / bare RSTn
             continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG header")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         body = payload[pos + 2 : pos + seglen]
         pos += seglen

@@ -67,9 +67,12 @@ def test_multimodal_batching_and_stub(spark):
     assert len(rows) == docs.count()
     r0 = {r.media_id: r for r in rows}[0]
     assert r0.n_bytes > 0 and 16 <= r0.width < 656 and 16 <= r0.height < 496
-    # png gained a real codec in round 4; jpeg remains env-absent
+    # bmp/png/jpeg/mp4 all decode for real now; an actually-absent codec
+    # must still fail loudly, and junk under a real mime is a ValueError
     with pytest.raises(NotImplementedError):
-        decode_stub(b"\xff\xd8\xff\xe0", "image/jpeg")
+        decode_stub(b"II*\x00", "image/tiff")
+    with pytest.raises(ValueError):
+        decode_stub(b"\xff\xd8\xff\xe0", "image/jpeg")  # truncated header
 
 
 def test_minhash_lsh_finds_exact_dups(spark):
@@ -391,6 +394,94 @@ def test_png_decoder_all_filters_and_rgba():
     d4 = decode_png(png4)
     # stats are over RGB; alpha is ignored
     assert abs(d4["mean_px"] - float(px4[:, :, :3].mean())) < 1e-9
+
+
+def test_png_decoder_palette_gray_interlace():
+    """Exotic PNG variants built by independent test-side construction:
+    8-bit and 4-bit palette (bit packing), 8-bit and 1-bit grayscale,
+    and an Adam7-interlaced truecolor image whose seven passes the test
+    splits itself per spec — the decoder must reassemble the original."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, depth, color, interlace, raws, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        return (
+            _PNG_SIG + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(raws)) + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(11)
+
+    # 8-bit palette: indices -> PLTE rows
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (5, 7), dtype=np.uint8)
+    raw = np.hstack([np.zeros((5, 1), np.uint8), idx]).tobytes()
+    d = decode_png(png(7, 5, 8, 3, 0, raw, chunk(b"PLTE", plte.tobytes())))
+    want = plte[idx]
+    assert (d["width"], d["height"]) == (7, 5)
+    assert abs(d["mean_px"] - want.mean()) < 1e-9
+    assert abs(d["top_row_mean"] - want[0].mean()) < 1e-9
+
+    # 4-bit palette: two indices per byte, MSB first, padded row tail
+    idx4 = rng.integers(0, 16, (3, 5), dtype=np.uint8)
+    packed = np.zeros((3, 3), dtype=np.uint8)  # ceil(5*4/8) = 3 bytes/row
+    for y in range(3):
+        for x in range(5):
+            byte, shift = divmod(x, 2)
+            packed[y, byte] |= idx4[y, x] << (4 if shift == 0 else 0)
+    raw = np.hstack([np.zeros((3, 1), np.uint8), packed]).tobytes()
+    d = decode_png(png(5, 3, 4, 3, 0, raw, chunk(b"PLTE", plte.tobytes())))
+    want = plte[idx4]
+    assert abs(d["mean_px"] - want.mean()) < 1e-9
+
+    # 8-bit grayscale with Sub filter (exercises fbpp=1 path)
+    g = rng.integers(0, 256, (4, 9), dtype=np.uint8)
+    rows = []
+    for y in range(4):
+        diff = np.diff(g[y].astype(np.int16), prepend=np.int16(0)) % 256
+        rows.append(b"\x01" + diff.astype(np.uint8).tobytes())
+    d = decode_png(png(9, 4, 8, 0, 0, b"".join(rows)))
+    assert abs(d["mean_px"] - g.mean()) < 1e-9
+
+    # 1-bit grayscale: bits scale to 0/255
+    bw = (rng.integers(0, 2, (6, 10), dtype=np.uint8))
+    packedb = np.packbits(bw, axis=1)  # pads row tail with zero bits
+    raw = np.hstack([np.zeros((6, 1), np.uint8), packedb]).tobytes()
+    d = decode_png(png(10, 6, 1, 0, 0, raw))
+    assert abs(d["mean_px"] - (bw * 255).mean()) < 1e-9
+
+    # Adam7 truecolor: split passes per spec in the test, filter 0
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raws = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raws += b"\x00" + sub[y].tobytes()
+    d = decode_png(png(13, 11, 8, 2, 1, bytes(raws)))
+    assert (d["width"], d["height"]) == (13, 11)
+    assert abs(d["mean_px"] - img.mean()) < 1e-9
+    assert abs(d["top_row_mean"] - img[0].mean()) < 1e-9
+
+    # 16-bit depth stays a loud NotImplementedError
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_png(png(2, 2, 16, 0, 0, b"\x00" * 10))
 
 
 def _jpeg_segments(buf: bytes):
