@@ -3,12 +3,12 @@
 Treats image/audio/video as ``binary`` columns with a metadata struct and
 runs decode / feature-extraction as Arrow-batched ``mapInPandas`` — the
 north rule's "vectorized pandas/Arrow UDFs only" path. Five REAL pure
-NumPy + stdlib codecs ship (24-bit BMP; PNG with grayscale/truecolor/
-palette/RGBA + Adam7 interlace; baseline JPEG; PCM16 WAV; MP4/ISO-BMFF
-container metadata); only codec work with no library in this sandbox
-(H.264 frame decode, progressive JPEG, 16-bit PNG) raises
-``NotImplementedError`` — a production build plugs Pillow/ffmpeg into
-the same ``decode_stub`` seam. ``fake/raw`` payloads decode
+NumPy + stdlib codecs ship (24-bit BMP; PNG at every spec-valid
+depth/color combination + Adam7 interlace; baseline JPEG with restart
+intervals; PCM16 WAV; MP4/ISO-BMFF container metadata); only H.264
+frame decode and progressive JPEG raise ``NotImplementedError`` — a
+production build plugs Pillow/ffmpeg into the same ``decode_stub``
+seam. ``fake/raw`` payloads decode
 deterministically so the generic pipeline stays testable end-to-end.
 
 Scale notes:
@@ -234,7 +234,10 @@ def _png_rows_to_pixels(rows, pw: int, channels: int, depth: int, plte):
     import numpy as np
 
     ph = rows.shape[0]
-    if depth == 8:
+    if depth == 16:  # big-endian 16-bit samples: high byte is the 8-bit view
+        px = rows.reshape(ph, -1)[:, : pw * channels * 2].reshape(
+            ph, pw, channels, 2)[..., 0]
+    elif depth == 8:
         px = rows.reshape(ph, -1)[:, : pw * channels].reshape(ph, pw, channels)
     else:  # 1/2/4-bit (palette or grayscale): unpack bit groups per row
         bits = np.unpackbits(rows, axis=1)[:, : pw * depth].reshape(
@@ -254,11 +257,12 @@ def _png_rows_to_pixels(rows, pw: int, channels: int, depth: int, plte):
 def decode_png(payload: bytes) -> dict[str, Any]:
     """Decode a PNG (W3C spec): dimensions + pixel statistics, matching
     ``decode_bmp``'s output shape. Supports color types 0 (grayscale),
-    2 (truecolor), 3 (palette, bit depth 1/2/4/8), 6 (RGBA), all five
-    scanline filters, and Adam7 interlacing — each interlace pass is an
-    independently filtered sub-image scattered back on its (origin,
-    stride) grid. Out of scope: 16-bit depth (``NotImplementedError``,
-    same policy as non-24-bit BMP)."""
+    2 (truecolor), 3 (palette, bit depth 1/2/4/8), 4 (gray+alpha),
+    6 (RGBA), bit depths 1-16 (16-bit samples are big-endian; the high
+    byte is the 8-bit view used for stats), all five scanline filters,
+    and Adam7 interlacing — each interlace pass is an independently
+    filtered sub-image scattered back on its (origin, stride) grid.
+    Every spec-valid depth/color combination decodes."""
     import struct
     import zlib
 
@@ -283,9 +287,12 @@ def decode_png(payload: bytes) -> dict[str, Any]:
         raise ValueError("missing IHDR/IDAT chunk")
     w, h, depth, color, _comp, _filt, interlace = meta
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if channels is None or depth == 16 or (depth < 8 and color not in (0, 3)):
-        raise NotImplementedError(
-            f"unsupported PNG variant (depth={depth}, color={color})"
+    if channels is None or (depth == 16 and color == 3) or (
+            depth < 8 and color not in (0, 3)):
+        # every spec-valid (depth, color) combination is supported; what
+        # remains is malformed input, not a missing feature
+        raise ValueError(
+            f"invalid PNG depth/color combination ({depth}, {color})"
         )
     if color == 3 and plte is None:
         raise ValueError("palette PNG without PLTE chunk")
@@ -516,9 +523,12 @@ def _jpeg_encode_block(bw, zz, prev_dc, dc_codes, ac_codes) -> int:
     return dc
 
 
-def encode_jpeg(pixels, quality: int = 90) -> bytes:
+def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG at
-    4:4:4 — real DCT + quantization + Huffman, pure NumPy + stdlib."""
+    4:4:4 — real DCT + quantization + Huffman, pure NumPy + stdlib.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (cycling 0-7) every that-many MCUs, resetting the DC predictors —
+    the spec's mechanism for parallel/error-resilient scans."""
     import struct
 
     import numpy as np
@@ -570,18 +580,29 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
         for (kind, tid), (bits, vals) in _JPEG_HUFF.items()
     )
     out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
 
     codes = {k: _jpeg_canonical_codes(*v) for k, v in _JPEG_HUFF.items()}
     bw = _JpegBitWriter()
     prev = [0, 0, 0]
+    mcu, rst = 0, 0
     for by in range(nbh):
         for bx in range(nbw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                out += bw.buf
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _JpegBitWriter()
+                prev = [0, 0, 0]
             for ci, tid in enumerate((0, 1, 1)):
                 prev[ci] = _jpeg_encode_block(
                     bw, zigzagged[by, bx, ci], prev[ci],
                     codes[("dc", tid)], codes[("ac", tid)],
                 )
+            mcu += 1
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -698,40 +719,49 @@ def decode_jpeg_pixels(payload: bytes):
             raise NotImplementedError("only baseline sequential (SOF0) JPEG")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
-            if restart:
-                raise NotImplementedError("JPEG restart intervals")
         elif marker == 0xDA:  # SOS: header, then entropy-coded data
             ns = body[0]
             for si in range(ns):
                 cid, tt = body[1 + 2 * si], body[2 + 2 * si]
                 sel[cid] = (tt >> 4, tt & 0xF)
-            data = bytearray()
+            scan = [bytearray()]  # segments split at RSTn markers
             while pos < len(payload):
                 byte = payload[pos]
                 if byte != 0xFF:
-                    data.append(byte)
+                    scan[-1].append(byte)
                     pos += 1
                     continue
                 nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
                 if nxt == 0x00:  # stuffed 0xFF
-                    data.append(0xFF)
+                    scan[-1].append(0xFF)
                     pos += 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    raise NotImplementedError("JPEG restart markers")
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn: new segment, DC resets
+                    scan.append(bytearray())
+                    pos += 2
                 else:
                     break  # next real marker (EOI) — leave pos on it
-            scan = bytes(data)
     if not comps or scan is None:
         raise ValueError("missing SOF/SOS in JPEG payload")
+    if restart == 0 and len(scan) > 1:
+        raise ValueError("RST marker in scan without a DRI interval")
 
     nc = len(comps)
     nbh, nbw = (h + 7) // 8, (w + 7) // 8
     coef = np.zeros((nbh, nbw, nc, 8, 8))
     zz = np.array(_JPEG_ZZ)
-    br = _JpegBitReader(scan)
+    seg_idx = 0
+    br = _JpegBitReader(bytes(scan[0]))
     prev = [0] * nc
+    mcu = 0
     for by in range(nbh):
         for bx in range(nbw):
+            if restart and mcu and mcu % restart == 0:
+                seg_idx += 1  # byte-aligned restart: fresh segment + DCs
+                if seg_idx >= len(scan):
+                    raise ValueError("missing JPEG restart segment")
+                br = _JpegBitReader(bytes(scan[seg_idx]))
+                prev = [0] * nc
+            mcu += 1
             for ci, comp in enumerate(comps):
                 dc_id, ac_id = sel[comp["id"]]
                 t = _jpeg_huff_decode(br, huff[(0, dc_id)])

@@ -477,11 +477,30 @@ def test_png_decoder_palette_gray_interlace():
     assert abs(d["mean_px"] - img.mean()) < 1e-9
     assert abs(d["top_row_mean"] - img[0].mean()) < 1e-9
 
-    # 16-bit depth stays a loud NotImplementedError
+    # 16-bit grayscale: big-endian samples, stats from the high byte
+    g16 = rng.integers(0, 65536, (3, 4), dtype=np.uint16)
+    raw = b"".join(
+        b"\x00" + g16[y].astype(">u2").tobytes() for y in range(3)
+    )
+    d = decode_png(png(4, 3, 16, 0, 0, raw))
+    assert abs(d["mean_px"] - (g16 >> 8).mean()) < 1e-9
+
+    # 16-bit RGB roundtrip of dimensions + high-byte stats
+    rgb16 = rng.integers(0, 65536, (2, 5, 3), dtype=np.uint16)
+    raw = b"".join(
+        b"\x00" + rgb16[y].astype(">u2").tobytes() for y in range(2)
+    )
+    d = decode_png(png(5, 2, 16, 2, 0, raw))
+    assert (d["width"], d["height"]) == (5, 2)
+    assert abs(d["mean_px"] - (rgb16 >> 8).mean()) < 1e-9
+
+    # spec-invalid depth/color combinations are malformed input
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        decode_png(png(2, 2, 16, 0, 0, b"\x00" * 10))
+    with pytest.raises(ValueError):
+        decode_png(png(2, 2, 16, 3, 0, b"\x00" * 10))  # 16-bit palette
+    with pytest.raises(ValueError):
+        decode_png(png(2, 2, 4, 2, 0, b"\x00" * 10))  # 4-bit truecolor
 
 
 def _jpeg_segments(buf: bytes):
@@ -628,18 +647,47 @@ def test_jpeg_decoder_marker_robustness():
     )
     with pytest.raises(NotImplementedError):
         decode_jpeg_pixels(progressive)
+    # a DRI spliced onto a scan with no RST markers is malformed
     with_dri = rebuild(
         [by_tag["SOI"], by_tag["e0"], by_tag["db"], by_tag["c0"],
          seg(0xDD, struct.pack(">H", 4)),
          by_tag["c4"], by_tag["SOS"], by_tag["EOI"]]
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg_pixels(with_dri)
     with pytest.raises(ValueError):
         decode_jpeg_pixels(b"not a jpeg")
     with pytest.raises(ValueError):
         # truncated mid-scan: bits exhaust before the last MCU decodes
         decode_jpeg_pixels(buf[: buf.find(b"\xff\xda") + 30])
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn support: a stream encoded with restart markers decodes
+    to exactly the same pixels as the same image without them — the DC
+    predictors reset per interval and segments realign on byte
+    boundaries. RST markers without a DRI segment are malformed."""
+    import numpy as np
+    import pytest
+
+    from etl_spark.operators.multimodal import decode_jpeg_pixels, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (24, 33, 3), dtype=np.uint8)  # 3x5 = 15 MCUs
+    plain = decode_jpeg_pixels(encode_jpeg(px, quality=85))
+    for interval in (1, 2, 7):
+        with_rst = encode_jpeg(px, quality=85, restart_interval=interval)
+        assert any(
+            bytes([0xFF, 0xD0 + m]) in with_rst for m in range(8)
+        )
+        assert np.array_equal(decode_jpeg_pixels(with_rst), plain)
+
+    # strip the DRI segment but keep the RSTn-laden scan: malformed
+    buf = encode_jpeg(px, quality=85, restart_interval=2)
+    i = buf.find(b"\xff\xdd")
+    no_dri = buf[:i] + buf[i + 6 :]
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(no_dri)
 
 
 def test_mp4_container_metadata():
