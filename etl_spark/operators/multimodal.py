@@ -3,9 +3,11 @@
 Treats image/audio/video as ``binary`` columns with a metadata struct and
 runs decode / feature-extraction as Arrow-batched ``mapInPandas`` — the
 north rule's "vectorized pandas/Arrow UDFs only" path. Five REAL pure
-NumPy + stdlib codecs ship (24-bit BMP; PNG at every spec-valid
-depth/color combination + Adam7 interlace; baseline JPEG with restart
-intervals; PCM16 WAV; MP4/ISO-BMFF container metadata); only H.264
+NumPy + stdlib codecs ship (BMP across the DIB surface — palette,
+16/32-bit bitfields, RLE4/RLE8; PNG at every spec-valid depth/color
+combination + Adam7 interlace; baseline JPEG with restart intervals;
+WAV across PCM 8/16/24/32, IEEE float, G.711 A-law/µ-law and
+WAVE_FORMAT_EXTENSIBLE; MP4/ISO-BMFF container metadata); only H.264
 frame decode and progressive JPEG raise ``NotImplementedError`` — a
 production build plugs Pillow/ffmpeg into the same ``decode_stub``
 seam. ``fake/raw`` payloads decode
@@ -103,14 +105,54 @@ def encode_bmp(pixels) -> bytes:
     return head + info + img
 
 
-def decode_bmp(payload: bytes) -> dict[str, Any]:
-    """Decode an uncompressed 24-bit BMP: dimensions + pixel statistics.
+def _bmp_rle_decode(data: bytes, w: int, h: int, nibble: bool):
+    """Expand an RLE8 (or RLE4 when ``nibble``) pixel stream into an
+    (h, w) palette-index array in STORED order (bottom-up). Per-image
+    Python loop — RLE BMPs are small; the Arrow batch around it keeps
+    the pipeline vectorized."""
+    import numpy as np
 
-    Handles the spec's row order (positive height = bottom-up storage)
-    and 4-byte row stride padding; ``top_row_mean`` is over the VISUAL
-    top row, so a decoder that forgets the flip or reads padding bytes
-    fails the planted-fixture oracle.
-    """
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = pos = 0
+    while pos + 1 < len(data):
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run: n pixels of v (RLE4: two alternating nibbles)
+            px = ([v >> 4, v & 0xF] * ((n + 1) // 2))[:n] if nibble else [v] * n
+            out[y, x : x + n] = px[: w - x]
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta jump
+            x, y = x + data[pos], y + data[pos + 1]
+            pos += 2
+        else:  # absolute mode: v literal pixels, word-aligned
+            if nibble:
+                nb = (v + 1) // 2
+                raw = data[pos : pos + nb]
+                px = [b >> (4 - 4 * (i & 1)) & 0xF
+                      for i in range(v) for b in (raw[i // 2],)]
+                pos += nb + (nb & 1)
+            else:
+                px = list(data[pos : pos + v])
+                pos += v + (v & 1)
+            out[y, x : x + v] = px[: w - x]
+            x += v
+    return out
+
+
+def decode_bmp(payload: bytes) -> dict[str, Any]:
+    """Decode a Windows DIB BMP: dimensions + pixel statistics.
+
+    Full spec surface: 1/4/8-bit palette, 16-bit (555 or BI_BITFIELDS
+    masks), 24-bit BGR, 32-bit BGRX/BI_BITFIELDS, and RLE4/RLE8
+    compression; both row orders (positive height = bottom-up) and the
+    4-byte stride. Bitfield channels are rescaled to 0-255 from their
+    mask width. ``top_row_mean`` is over the VISUAL top row, so a
+    decoder that forgets the flip or reads padding bytes fails the
+    planted-fixture oracle."""
     import struct
 
     import numpy as np
@@ -118,15 +160,48 @@ def decode_bmp(payload: bytes) -> dict[str, Any]:
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (off,) = struct.unpack_from("<I", payload, 10)
-    _hsize, w, h = struct.unpack_from("<Iii", payload, 14)
+    hsize, w, h = struct.unpack_from("<Iii", payload, 14)
     _planes, bpp = struct.unpack_from("<HH", payload, 26)
     (comp,) = struct.unpack_from("<I", payload, 30)
-    if bpp != 24 or comp != 0:
-        raise NotImplementedError(f"only 24-bit BI_RGB BMP (got bpp={bpp}, comp={comp})")
     bottom_up, h = h > 0, abs(h)
-    stride = (3 * w + 3) // 4 * 4
-    data = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=off)
-    rows = data.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
+    if bpp <= 8:  # palette: BGRA entries after the info header
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        ncol = clr_used or (1 << bpp)
+        pal = np.frombuffer(payload, np.uint8, ncol * 4, 14 + hsize)
+        pal = pal.reshape(-1, 4)[:, 2::-1]  # BGRA -> RGB
+    if comp in (1, 2):  # RLE8 / RLE4 (stored bottom-up per spec)
+        if bpp != (8 if comp == 1 else 4):
+            raise ValueError(f"RLE{8 if comp == 1 else 4} requires matching bpp")
+        idx = _bmp_rle_decode(payload[off:], w, h, nibble=(comp == 2))
+        rows = pal[idx]
+    elif comp in (0, 3):
+        stride = (w * bpp + 31) // 32 * 4
+        data = np.frombuffer(payload, np.uint8, h * stride, off).reshape(h, stride)
+        if bpp <= 8:
+            bits = np.unpackbits(data, axis=1)[:, : w * bpp].reshape(h, w, bpp)
+            weights = 1 << np.arange(bpp - 1, -1, -1)
+            rows = pal[(bits * weights).sum(axis=2)]
+        elif bpp == 24:
+            rows = data[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
+        elif bpp in (16, 32):
+            dt = "<u2" if bpp == 16 else "<u4"
+            px = np.ascontiguousarray(data[:, : w * (bpp // 8)]).view(dt)
+            px = px.reshape(h, w).astype(np.uint32)
+            if comp == 3:  # masks at file offset 54 for both v1 and V4/V5
+                masks = struct.unpack_from("<III", payload, 54)
+            else:
+                masks = (0x7C00, 0x3E0, 0x1F) if bpp == 16 else (
+                    0xFF0000, 0xFF00, 0xFF)
+            chans = []
+            for m in masks:
+                shift = (m & -m).bit_length() - 1
+                top = m >> shift
+                chans.append(((px & m) >> shift) * 255 // top)
+            rows = np.stack(chans, axis=2).astype(np.uint8)
+        else:
+            raise ValueError(f"invalid BMP bit depth {bpp}")
+    else:
+        raise NotImplementedError(f"BMP compression {comp} (JPEG/PNG-in-BMP)")
     if bottom_up:
         rows = rows[::-1]
     return {
@@ -962,50 +1037,160 @@ def decode_mp4_frames(payload: bytes):
     raise NotImplementedError("video frame decode requires ffmpeg (not in env)")
 
 
-def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
-    """Encode an int16 NumPy array as mono 16-bit PCM WAV (RIFF)."""
+def encode_wav(samples, sample_rate: int = 16_000, audio_fmt: int = 1,
+               bits: int = 16, extensible: bool = False) -> bytes:
+    """Encode a mono NumPy array as a RIFF WAV. Defaults to 16-bit PCM;
+    ``audio_fmt``/``bits`` select the other spec formats the decoder
+    reads (PCM 8/16/24/32, IEEE float 32/64, A-law, µ-law). Input is
+    int16-domain (or float for fmt 3); conversion to the container
+    format is done here so encode→decode roundtrips in the int16 view.
+    ``extensible`` wraps the format in WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    with the spec GUID, as pro-audio tools emit."""
     import struct
 
-    data = samples.astype("<i2").tobytes()
+    import numpy as np
+
+    if audio_fmt == 1 and bits == 16:
+        data = samples.astype("<i2").tobytes()
+    elif audio_fmt == 1 and bits == 8:  # unsigned, midpoint 128
+        data = ((samples.astype(np.int32) // 256) + 128).astype(np.uint8).tobytes()
+    elif audio_fmt == 1 and bits == 24:  # little-endian 3-byte signed
+        s32 = (samples.astype(np.int32) << 8).astype("<i4")
+        data = s32.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    elif audio_fmt == 1 and bits == 32:
+        data = (samples.astype(np.int64) << 16).astype("<i4").tobytes()
+    elif audio_fmt == 3 and bits in (32, 64):  # IEEE float, [-1, 1)
+        scaled = samples.astype(np.float64) / 32768.0
+        data = scaled.astype("<f4" if bits == 32 else "<f8").tobytes()
+    elif audio_fmt in (6, 7):  # G.711 A-law / µ-law, 8 bits per sample
+        bits = 8
+        enc = _alaw_encode if audio_fmt == 6 else _mulaw_encode
+        data = enc(samples.astype(np.int16)).tobytes()
+    else:
+        raise ValueError(f"unsupported encode format ({audio_fmt}, {bits})")
+    block = bits // 8
+    if extensible:
+        # cbSize=22: valid bits, channel mask, GUID = fmt tag + fixed suffix
+        guid = struct.pack("<H", audio_fmt) + bytes.fromhex(
+            "0000000000100080 00aa00389b71".replace(" ", ""))
+        fmt_body = struct.pack("<HHIIHHHHI", 0xFFFE, 1, sample_rate,
+                               sample_rate * block, block, bits,
+                               22, bits, 0x4) + guid
+    else:
+        fmt_body = struct.pack("<HHIIHH", audio_fmt, 1, sample_rate,
+                               sample_rate * block, block, bits)
     return (
-        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
-                                sample_rate * 2, 2, 16)
+        b"RIFF" + struct.pack("<I", 28 + len(fmt_body) + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
         + b"data" + struct.pack("<I", len(data)) + data
     )
 
 
+def _alaw_encode(s16):
+    """G.711 A-law compress an int16 array (13-bit domain, segment
+    search + 4-bit mantissa, even bits inverted per the spec)."""
+    import numpy as np
+
+    x = s16.astype(np.int32) >> 3  # arithmetic shift to the 13-bit domain
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.where(x >= 0, x, -x - 1).clip(0, 0xFFF)
+    seg = np.digitize(mag, [0x20, 0x40, 0x80, 0x100, 0x200, 0x400, 0x800])
+    mant = np.where(seg < 2, (mag >> 1) & 0xF, (mag >> seg) & 0xF)
+    return (((seg << 4) | mant) ^ mask).astype(np.uint8)
+
+
+def _alaw_decode(codes):
+    """G.711 A-law expand to int16 (16-bit domain, segment midpoints)."""
+    import numpy as np
+
+    c = codes.astype(np.int32) ^ 0x55
+    t = (c & 0xF) << 4
+    seg = (c >> 4) & 0x7
+    t = np.where(seg == 0, t + 8,
+                 np.where(seg == 1, t + 0x108, (t + 0x108) << (seg - 1)))
+    return np.where(c & 0x80, t, -t).astype(np.int16)
+
+
+def _mulaw_encode(s16):
+    """G.711 µ-law compress an int16 array (14-bit domain, bias 33)."""
+    import numpy as np
+
+    x = s16.astype(np.int32) >> 2
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    mag = (np.abs(x) + 33).clip(None, 0x1FDF)  # 8159: spec clip after bias
+    seg = np.digitize(mag, [0x40, 0x80, 0x100, 0x200, 0x400, 0x800, 0x1000])
+    mant = (mag >> (seg + 1)) & 0xF
+    return (((seg << 4) | mant) ^ mask).astype(np.uint8)
+
+
+def _mulaw_decode(codes):
+    """G.711 µ-law expand to int16 (16-bit domain, bias removed)."""
+    import numpy as np
+
+    c = (~codes.astype(np.int32)) & 0xFF
+    t = (((c & 0xF) << 3) + 0x84) << ((c >> 4) & 0x7)
+    return np.where(c & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
 def decode_wav(payload: bytes) -> dict[str, Any]:
-    """Parse RIFF/PCM WAV: walks the chunk list (fmt may not be first),
-    returns rate/channels/sample count/duration and the RMS amplitude."""
+    """Parse a RIFF WAV: walks the chunk list (fmt may not be first),
+    returns rate/channels/sample count/duration and the RMS amplitude
+    in the int16 domain regardless of container format. Reads PCM
+    8/16/24/32-bit (fmt 1), IEEE float 32/64 (fmt 3), G.711 A-law (6)
+    and µ-law (7), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping any of
+    those via its SubFormat GUID."""
     import struct
 
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, rate, _bps, _align, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise NotImplementedError("only 16-bit PCM WAV")
-    samples = np.frombuffer(data, dtype="<i2")
+    if audio_fmt == 0xFFFE:  # extensible: real format tag leads the GUID
+        if len(fmt_body) < 26:
+            raise ValueError("extensible WAV without SubFormat GUID")
+        (audio_fmt,) = struct.unpack_from("<H", fmt_body, 24)
+    if audio_fmt == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    elif audio_fmt == 1 and bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                   - 128.0) * 256.0
+    elif audio_fmt == 1 and bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8)[: len(data) // 3 * 3]
+        b3 = raw.reshape(-1, 3).astype(np.int32)
+        s = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        samples = np.where(s >= 1 << 23, s - (1 << 24), s).astype(np.float64) / 256.0
+    elif audio_fmt == 1 and bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 65536.0
+    elif audio_fmt == 3 and bits in (32, 64):
+        dt = "<f4" if bits == 32 else "<f8"
+        samples = np.frombuffer(data, dtype=dt).astype(np.float64) * 32768.0
+    elif audio_fmt == 6 and bits == 8:
+        samples = _alaw_decode(np.frombuffer(data, dtype=np.uint8)).astype(np.float64)
+    elif audio_fmt == 7 and bits == 8:
+        samples = _mulaw_decode(np.frombuffer(data, dtype=np.uint8)).astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"unsupported WAV format (fmt={audio_fmt}, bits={bits})")
     n = len(samples) // channels
     return {
         "sample_rate": int(rate),
         "channels": int(channels),
         "n_samples": int(n),
         "duration_s": float(n / rate),
-        "rms": float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if n else 0.0,
+        "rms": float(np.sqrt(np.mean(samples ** 2))) if n else 0.0,
     }
 
 

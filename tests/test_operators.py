@@ -308,6 +308,138 @@ def test_bmp_codec_roundtrip():
         assert abs(d["top_row_mean"] - float(px[0].mean())) < 1e-9
 
 
+def _dib(w, h, bpp, comp, pixdata, pal=b"", clr_used=0):
+    """Hand-build a BMP file around a raw pixel stream (BITMAPINFOHEADER)."""
+    import struct
+
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(pixdata),
+                       2835, 2835, clr_used, 0)
+    off = 14 + 40 + len(pal)
+    head = struct.pack("<2sIHHI", b"BM", off + len(pixdata), 0, 0, off)
+    return head + info + pal + pixdata
+
+
+def test_bmp_all_variants():
+    """Full DIB surface: 1/4/8-bit palette, 16-bit 555 and 565
+    bitfields, 32-bit BGRX and RGBX bitfields, top-down row order —
+    stats match a closed-form NumPy oracle exactly."""
+    import struct
+
+    import numpy as np
+
+    from etl_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(13)
+    w, h = 6, 4
+    palrgb = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palrgb)
+
+    # 8-bit palette, bottom-up
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    stride = (w + 3) // 4 * 4
+    pix = b"".join(idx[y].tobytes() + b"\x00" * (stride - w)
+                   for y in range(h - 1, -1, -1))
+    d = decode_bmp(_dib(w, h, 8, 0, pix, pal, 16))
+    exp = palrgb[idx]
+    assert abs(d["mean_px"] - exp.mean()) < 1e-9
+    assert abs(d["top_row_mean"] - exp[0].mean()) < 1e-9
+
+    # 4-bit palette (two pixels per byte, high nibble first)
+    idx4 = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    stride4 = (w * 4 + 31) // 32 * 4
+    pix4 = b"".join(
+        (np.packbits(np.unpackbits(idx4[y].reshape(-1, 1), axis=1,
+                                   count=8)[:, 4:]).tobytes()
+         + b"\x00" * 8)[:stride4]
+        for y in range(h - 1, -1, -1))
+    d = decode_bmp(_dib(w, h, 4, 0, pix4, pal, 16))
+    assert abs(d["mean_px"] - palrgb[idx4].mean()) < 1e-9
+
+    # 1-bit, width not a multiple of 8
+    idx1 = rng.integers(0, 2, (h, 10), dtype=np.uint8)
+    pal2rgb = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    stride1 = (10 + 31) // 32 * 4
+    pix1 = b"".join((np.packbits(idx1[y]).tobytes() + b"\x00" * 4)[:stride1]
+                    for y in range(h - 1, -1, -1))
+    d = decode_bmp(_dib(10, h, 1, 0, pix1,
+                        b"\x00\x00\x00\x00\xff\xff\xff\x00", 2))
+    assert abs(d["mean_px"] - pal2rgb[idx1].mean()) < 1e-9
+
+    # 16-bit: default 555, then 565 via BI_BITFIELDS masks
+    r5, g5, b5 = (rng.integers(0, 32, (h, w), dtype=np.uint16) for _ in range(3))
+    stride16 = (w * 16 + 31) // 32 * 4
+    px555 = (r5 << 10) | (g5 << 5) | b5
+    pix16 = b"".join((px555[y].astype("<u2").tobytes() + b"\x00" * 4)[:stride16]
+                     for y in range(h - 1, -1, -1))
+    d = decode_bmp(_dib(w, h, 16, 0, pix16))
+    exp555 = np.stack([(c.astype(np.uint32) * 255) // 31
+                       for c in (r5, g5, b5)], axis=2)
+    assert abs(d["mean_px"] - exp555.mean()) < 1e-9
+    masks = struct.pack("<III", 0xF800, 0x7E0, 0x1F)
+    px565 = (r5 << 11) | ((g5 * 2) << 5) | b5
+    pix565 = b"".join((px565[y].astype("<u2").tobytes() + b"\x00" * 4)[:stride16]
+                      for y in range(h - 1, -1, -1))
+    d = decode_bmp(_dib(w, h, 16, 3, pix565, masks))
+    exp565 = np.stack([(r5.astype(np.uint32) * 255) // 31,
+                       ((g5 * 2).astype(np.uint32) * 255) // 63,
+                       (b5.astype(np.uint32) * 255) // 31], axis=2)
+    assert abs(d["mean_px"] - exp565.mean()) < 1e-9
+
+    # 32-bit BGRX, TOP-DOWN (negative height => no flip)
+    img32 = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    rows = b"".join(bytes([img32[y, x, 2], img32[y, x, 1], img32[y, x, 0], 0])
+                    for y in range(h) for x in range(w))
+    d = decode_bmp(_dib(w, -h, 32, 0, rows))
+    assert abs(d["mean_px"] - img32.mean()) < 1e-9
+    assert abs(d["top_row_mean"] - img32[0].mean()) < 1e-9
+
+    # 32-bit BI_BITFIELDS with an RGBX (red-low) layout
+    masks32 = struct.pack("<III", 0xFF, 0xFF00, 0xFF0000)
+    rows2 = b"".join(bytes([img32[y, x, 0], img32[y, x, 1], img32[y, x, 2], 0])
+                     for y in range(h - 1, -1, -1) for x in range(w))
+    d = decode_bmp(_dib(w, h, 32, 3, rows2, masks32))
+    assert abs(d["top_row_mean"] - img32[0].mean()) < 1e-9
+
+
+def test_bmp_rle_decode():
+    """RLE8/RLE4 (comp 1/2): encoded runs (RLE4 alternates the value
+    byte's nibbles), absolute mode with word padding, end-of-line,
+    delta jumps, and end-of-bitmap all reconstruct the planted index
+    grid; RLE with a mismatched bit depth is malformed."""
+    import numpy as np
+    import pytest
+
+    from etl_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(17)
+    palrgb = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palrgb)
+
+    stream8 = bytes([4, 5, 2, 1, 0, 0,       # run 4×5, run 2×1, EOL
+                     0, 3, 2, 3, 4, 0,       # absolute [2,3,4] + pad
+                     3, 0, 0, 0,             # run 3×0, EOL
+                     0, 2, 2, 0,             # delta: +2 x
+                     4, 7, 0, 1])            # run 4×7, EOF
+    stored8 = np.array([[5, 5, 5, 5, 1, 1],
+                        [2, 3, 4, 0, 0, 0],
+                        [0, 0, 7, 7, 7, 7]])
+    d = decode_bmp(_dib(6, 3, 8, 1, stream8, pal, 8))
+    exp = palrgb[stored8][::-1]  # stored bottom-up -> visual flip
+    assert abs(d["mean_px"] - exp.mean()) < 1e-9
+    assert abs(d["top_row_mean"] - exp[0].mean()) < 1e-9
+
+    stream4 = bytes([5, 0x12, 0, 0,              # run 5 alternating 1,2
+                     0, 3, 0x34, 0x50, 2, 0x66,  # absolute [3,4,5], run 2×6
+                     0, 1])
+    stored4 = np.array([[1, 2, 1, 2, 1], [3, 4, 5, 6, 6]])
+    d = decode_bmp(_dib(5, 2, 4, 2, stream4, pal, 8))
+    exp4 = palrgb[stored4][::-1]
+    assert abs(d["mean_px"] - exp4.mean()) < 1e-9
+
+    with pytest.raises(ValueError):
+        decode_bmp(_dib(5, 2, 8, 2, stream4, pal, 8))  # RLE4 needs bpp=4
+
+
 def test_png_codec_roundtrip():
     """Pure NumPy+zlib PNG encode/decode (W3C spec): dimensions and
     pixel stats recovered exactly."""
@@ -746,3 +878,54 @@ def test_wav_codec_roundtrip():
     assert d["n_samples"] == 16_000 and abs(d["duration_s"] - 1.0) < 1e-9
     # RMS of a 10k-amplitude sine ≈ 10000/sqrt(2)
     assert abs(d["rms"] - 10_000 / np.sqrt(2)) < 50
+
+
+def test_wav_all_formats():
+    """Every WAV container format decodes to the same int16-domain RMS:
+    PCM 8/16/24/32-bit, IEEE float 32/64, G.711 A-law/µ-law, and a
+    WAVE_FORMAT_EXTENSIBLE wrapper. Exact formats match the int16 RMS
+    to float precision; lossy ones within their quantization error."""
+    import numpy as np
+    import pytest
+
+    from etl_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-20_000, 20_000, 48_000, dtype=np.int16)
+    ref = float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
+    exact = [(1, 16), (1, 24), (1, 32), (3, 32), (3, 64)]
+    for fmt, bits in exact:
+        d = decode_wav(encode_wav(s, 16_000, audio_fmt=fmt, bits=bits))
+        assert d["n_samples"] == 48_000
+        assert abs(d["rms"] - ref) < 1e-6, (fmt, bits)
+    for fmt, bits, tol in [(1, 8, 0.02), (6, 8, 0.005), (7, 8, 0.005)]:
+        d = decode_wav(encode_wav(s, 16_000, audio_fmt=fmt, bits=bits))
+        assert abs(d["rms"] - ref) / ref < tol, (fmt, bits, d["rms"], ref)
+    d = decode_wav(encode_wav(s, 16_000, audio_fmt=3, bits=32, extensible=True))
+    assert abs(d["rms"] - ref) < 1e-6
+    with pytest.raises(NotImplementedError):
+        decode_wav(encode_wav(s, 16_000)[:20]
+                   + b"\x02\x00" + encode_wav(s, 16_000)[22:])  # fmt 2 = ADPCM
+
+
+def test_g711_tables_canonical():
+    """The A-law/µ-law compand tables match ITU-T G.711: every A-law
+    code is a fixed point of expand→compress (µ-law: 255 of 256 — the
+    spec's ±0 degeneracy), and roundtrip error stays within the top
+    segment's step size over the full int16 range."""
+    import numpy as np
+
+    from etl_spark.operators.multimodal import (_alaw_decode, _alaw_encode,
+                                                _mulaw_decode, _mulaw_encode)
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert (_alaw_encode(_alaw_decode(codes)) == codes).all()
+    assert int((_mulaw_encode(_mulaw_decode(codes)) == codes).sum()) == 255
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    assert np.abs(_alaw_decode(_alaw_encode(x)).astype(np.int32)
+                  - x.astype(np.int32)).max() <= 512
+    assert np.abs(_mulaw_decode(_mulaw_encode(x)).astype(np.int32)
+                  - x.astype(np.int32)).max() <= 1024
+    # spec spot values: silence encodes to 0xD5 (A-law) / 0xFF (µ-law)
+    zero = np.zeros(1, dtype=np.int16)
+    assert _alaw_encode(zero)[0] == 0xD5 and _mulaw_encode(zero)[0] == 0xFF
