@@ -407,15 +407,17 @@ def decode_png(payload: bytes) -> dict[str, Any]:
 
 # -- JPEG baseline codec (pure NumPy + stdlib — ITU-T T.81) ------------------
 #
-# Baseline sequential DCT, 8-bit, 4:4:4 (no chroma subsampling), standard
-# Annex K quantization + Huffman tables. Encoder: RGB→YCbCr (BT.601/JFIF),
-# blockwise orthonormal DCT via one einsum, quality-scaled quantization
-# (libjpeg formula), canonical Huffman entropy coding with 0xFF byte
-# stuffing. Decoder: full marker walk (multi-table DQT/DHT segments, APPn/
-# COM skip), Huffman tables built FROM the bitstream's DHT (not the
-# encoder's constants), dequantize → vectorized IDCT → YCbCr→RGB. Out of
-# scope (NotImplementedError, same policy as palette PNG): progressive
-# (SOF2), subsampled scans, restart intervals, 12-bit precision.
+# Baseline sequential DCT, 8-bit, any sampling factors (4:4:4 / 4:2:2 /
+# 4:2:0 / grayscale), restart intervals (DRI/RSTn), standard Annex K
+# quantization + Huffman tables. Encoder: RGB→YCbCr (BT.601/JFIF),
+# chroma box-average downsampling, blockwise orthonormal DCT via one
+# einsum, quality-scaled quantization (libjpeg formula), canonical
+# Huffman entropy coding with 0xFF byte stuffing. Decoder: full marker
+# walk (multi-table DQT/DHT segments, APPn/COM skip), Huffman tables
+# built FROM the bitstream's DHT (not the encoder's constants),
+# MCU-interleaved per-component block rasters, dequantize → vectorized
+# IDCT → nearest-neighbor chroma upsample → YCbCr→RGB. Out of scope
+# (NotImplementedError): progressive (SOF2), 12-bit precision.
 # Reference parity target: the decode path a production build would get
 # from Pillow — here spec-implemented because the sandbox has no codecs.
 
@@ -598,9 +600,32 @@ def _jpeg_encode_block(bw, zz, prev_dc, dc_codes, ac_codes) -> int:
     return dc
 
 
-def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG at
-    4:4:4 — real DCT + quantization + Huffman, pure NumPy + stdlib.
+def _jpeg_plane_zigzag(plane, qmat, m, zz):
+    """DCT + quantize + zigzag one component plane (already padded to
+    8×8 multiples): returns an (nbh, nbw, 64) int array of coefficients
+    in zigzag order."""
+    import numpy as np
+
+    nbh, nbw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(nbh, 8, nbw, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ij,abjk,lk->abil", m, blocks, m)
+    return np.round(coef / qmat).astype(np.int32).reshape(nbh, nbw, 64)[..., zz]
+
+
+_JPEG_FACTORS = {  # subsampling name -> (Y, Cb, Cr) (H, V) sampling factors
+    "4:4:4": ((1, 1), (1, 1), (1, 1)),
+    "4:2:2": ((2, 1), (1, 1), (1, 1)),
+    "4:2:0": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0,
+                subsampling: str = "4:4:4") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG —
+    real DCT + quantization + Huffman, pure NumPy + stdlib.
+    ``subsampling`` picks the chroma layout (4:4:4, 4:2:2, or 4:2:0 —
+    the last is what cameras and the web actually emit: chroma
+    box-averaged 2×2, MCUs of four Y blocks + one Cb + one Cr).
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
     (cycling 0-7) every that-many MCUs, resetting the DC predictors —
     the spec's mechanism for parallel/error-resilient scans."""
@@ -608,9 +633,13 @@ def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
 
     import numpy as np
 
+    factors = _JPEG_FACTORS[subsampling]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     h, w, _ = pixels.shape
     qtabs = _jpeg_qtables(quality)
     m = _jpeg_dct_mat()
+    zz = np.array(_JPEG_ZZ)
 
     rgb = pixels.astype(np.float64)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -622,19 +651,18 @@ def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
         ],
         axis=-1,
     )
-    # pad to 8x8 multiples by edge replication (decoder crops back)
-    ycc = np.pad(ycc, ((0, -h % 8), (0, -w % 8), (0, 0)), mode="edge")
-    nbh, nbw = ycc.shape[0] // 8, ycc.shape[1] // 8
-    blocks = (
-        ycc.reshape(nbh, 8, nbw, 8, 3).transpose(0, 2, 4, 1, 3) - 128.0
-    )  # (nbh, nbw, 3, 8, 8)
-    coef = np.einsum("ij,abcjk,lk->abcil", m, blocks, m)
-    qmat = np.stack(
-        [np.array(qtabs[t], dtype=np.float64).reshape(8, 8) for t in (0, 1, 1)]
-    )
-    quant = np.round(coef / qmat).astype(np.int32)
-    zz = np.array(_JPEG_ZZ)
-    zigzagged = quant.reshape(nbh, nbw, 3, 64)[..., zz]
+    # pad to whole MCUs by edge replication (decoder crops back)
+    ph, pw = -h % (8 * vmax) + h, -w % (8 * hmax) + w
+    ycc = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    qmats = [np.array(qtabs[t], dtype=np.float64).reshape(8, 8)
+             for t in (0, 1, 1)]
+    planes = []
+    for ci, (fh, fv) in enumerate(factors):
+        plane = ycc[..., ci]
+        ry, rx = vmax // fv, hmax // fh
+        if ry > 1 or rx > 1:  # box-average downsample
+            plane = plane.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        planes.append(_jpeg_plane_zigzag(plane, qmats[ci], m, zz))
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -647,8 +675,9 @@ def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
     )
     out += seg(0xDB, dqt)
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, qid in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, qid])  # 1x1 sampling: 4:4:4
+    for ci, (cid, qid) in enumerate(((1, 0), (2, 1), (3, 1))):
+        fh, fv = factors[ci]
+        sof += bytes([cid, fh << 4 | fv, qid])
     out += seg(0xC0, sof)
     dht = b"".join(
         bytes([(0 if kind == "dc" else 1) << 4 | tid]) + bytes(bits) + bytes(vals)
@@ -663,8 +692,8 @@ def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
     bw = _JpegBitWriter()
     prev = [0, 0, 0]
     mcu, rst = 0, 0
-    for by in range(nbh):
-        for bx in range(nbw):
+    for my in range(ph // (8 * vmax)):
+        for mx in range(pw // (8 * hmax)):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.flush()
                 out += bw.buf
@@ -673,10 +702,13 @@ def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0) -> bytes:
                 bw = _JpegBitWriter()
                 prev = [0, 0, 0]
             for ci, tid in enumerate((0, 1, 1)):
-                prev[ci] = _jpeg_encode_block(
-                    bw, zigzagged[by, bx, ci], prev[ci],
-                    codes[("dc", tid)], codes[("ac", tid)],
-                )
+                fh, fv = factors[ci]
+                for vy in range(fv):
+                    for vx in range(fh):
+                        prev[ci] = _jpeg_encode_block(
+                            bw, planes[ci][my * fv + vy, mx * fh + vx],
+                            prev[ci], codes[("dc", tid)], codes[("ac", tid)],
+                        )
             mcu += 1
     bw.flush()
     out += bw.buf
@@ -726,9 +758,12 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Decode a baseline sequential 4:4:4 (or grayscale) JPEG to an
-    (h, w, 3) uint8 RGB array. Tables come from the bitstream's own
-    DQT/DHT segments; unknown APPn/COM segments are skipped."""
+    """Decode a baseline sequential JPEG to an (h, w, 3) uint8 RGB
+    array — any sampling factors up to 4×4 (4:4:4 / 4:2:2 / 4:2:0 /
+    grayscale), interleaved MCUs with per-component block rasters and
+    nearest-neighbor chroma upsampling. Tables come from the
+    bitstream's own DQT/DHT segments; unknown APPn/COM segments are
+    skipped."""
     import struct
 
     import numpy as np
@@ -784,11 +819,8 @@ def decode_jpeg_pixels(payload: bytes):
                 raise NotImplementedError("only 8-bit JPEG precision")
             for ci in range(nc):
                 cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "only 4:4:4 (1x1 sampling) JPEG scans"
-                    )
-                comps.append({"id": cid, "q": qid})
+                comps.append({"id": cid, "q": qid,
+                              "h": samp >> 4, "v": samp & 0xF})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0) JPEG")
@@ -821,15 +853,22 @@ def decode_jpeg_pixels(payload: bytes):
         raise ValueError("RST marker in scan without a DRI interval")
 
     nc = len(comps)
-    nbh, nbw = (h + 7) // 8, (w + 7) // 8
-    coef = np.zeros((nbh, nbw, nc, 8, 8))
+    if nc == 1:  # a single-component scan is non-interleaved: plain 8x8 grid
+        comps[0]["h"] = comps[0]["v"] = 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("invalid JPEG sampling factors")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8)) for c in comps]
     zz = np.array(_JPEG_ZZ)
     seg_idx = 0
     br = _JpegBitReader(bytes(scan[0]))
     prev = [0] * nc
     mcu = 0
-    for by in range(nbh):
-        for bx in range(nbw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart and mcu and mcu % restart == 0:
                 seg_idx += 1  # byte-aligned restart: fresh segment + DCs
                 if seg_idx >= len(scan):
@@ -839,34 +878,47 @@ def decode_jpeg_pixels(payload: bytes):
             mcu += 1
             for ci, comp in enumerate(comps):
                 dc_id, ac_id = sel[comp["id"]]
-                t = _jpeg_huff_decode(br, huff[(0, dc_id)])
-                prev[ci] += _jpeg_extend(br.bits(t), t)
-                blk = np.zeros(64)
-                blk[0] = prev[ci]
-                k = 1
-                while k < 64:
-                    sym = _jpeg_huff_decode(br, huff[(1, ac_id)])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError(f"bad JPEG AC symbol {sym:#x}")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC coefficient overflow")
-                    blk[k] = _jpeg_extend(br.bits(size), size)
-                    k += 1
-                nat = np.zeros(64)
-                nat[zz] = blk
-                coef[by, bx, ci] = nat.reshape(8, 8) * qt[comp["q"]]
+                for vy in range(comp["v"]):
+                    for vx in range(comp["h"]):
+                        t = _jpeg_huff_decode(br, huff[(0, dc_id)])
+                        prev[ci] += _jpeg_extend(br.bits(t), t)
+                        blk = np.zeros(64)
+                        blk[0] = prev[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_huff_decode(br, huff[(1, ac_id)])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"bad JPEG AC symbol {sym:#x}")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overflow")
+                            blk[k] = _jpeg_extend(br.bits(size), size)
+                            k += 1
+                        nat = np.zeros(64)
+                        nat[zz] = blk
+                        coefs[ci][my * comp["v"] + vy, mx * comp["h"] + vx] = (
+                            nat.reshape(8, 8) * qt[comp["q"]]
+                        )
 
     m = _jpeg_dct_mat()
-    spatial = np.einsum("ji,abcjk,kl->abcil", m, coef, m) + 128.0
-    img = spatial.transpose(0, 3, 1, 4, 2).reshape(nbh * 8, nbw * 8, nc)
-    img = img[:h, :w]
+    planes = []
+    yy = np.arange(h)
+    xx = np.arange(w)
+    for ci, comp in enumerate(comps):
+        sp = np.einsum("ji,abjk,kl->abil", m, coefs[ci], m) + 128.0
+        bh, bw_ = coefs[ci].shape[:2]
+        plane = sp.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        # nearest-neighbor upsample straight onto the (h, w) output grid
+        planes.append(plane[(yy * comp["v"] // vmax)[:, None],
+                            (xx * comp["h"] // hmax)[None, :]])
+    img = np.stack(planes, axis=-1)
     if nc == 1:
         rgb = np.repeat(img, 3, axis=-1)
     else:

@@ -822,6 +822,47 @@ def test_jpeg_restart_intervals():
         decode_jpeg_pixels(no_dri)
 
 
+def test_jpeg_chroma_subsampling():
+    """4:2:2 and 4:2:0 scans (what cameras/web emit) encode and decode:
+    MCU-interleaved per-component block rasters, box-average chroma
+    downsample, nearest-neighbor upsample. Luma stays within baseline
+    quantization error; chroma error is bounded by the decimation; a
+    constant image roundtrips exactly; restart markers compose with
+    subsampling (identical pixels with and without)."""
+    import numpy as np
+
+    from etl_spark.operators.multimodal import decode_jpeg_pixels, encode_jpeg
+
+    h, w = 37, 50  # not multiples of 16: exercises MCU padding + crop
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([(yy * 3 + xx * 2) % 256, (xx * 4) % 256,
+                       (yy * 5) % 256], axis=2).astype(np.uint8)
+    for sub, tol in (("4:4:4", 2), ("4:2:2", 8), ("4:2:0", 12)):
+        buf = encode_jpeg(smooth, quality=95, subsampling=sub)
+        dec = decode_jpeg_pixels(buf)
+        assert dec.shape == (h, w, 3)
+        err = np.abs(dec.astype(int) - smooth.astype(int))
+        assert err.max() <= tol, (sub, err.max())
+        # luma must stay near-exact: chroma decimation can't leak into Y
+        ymat = np.array([0.299, 0.587, 0.114])
+        yerr = np.abs((dec * ymat).sum(2) - (smooth * ymat).sum(2))
+        assert yerr.max() < 4.0, (sub, yerr.max())
+    # subsampled streams are smaller: that's the point of 4:2:0
+    sizes = {sub: len(encode_jpeg(smooth, quality=95, subsampling=sub))
+             for sub in ("4:4:4", "4:2:2", "4:2:0")}
+    assert sizes["4:2:0"] < sizes["4:2:2"] < sizes["4:4:4"]
+
+    const = np.full((24, 40, 3), 77, dtype=np.uint8)
+    for sub in ("4:2:2", "4:2:0"):
+        d = decode_jpeg_pixels(encode_jpeg(const, quality=95, subsampling=sub))
+        assert (d == 77).all(), sub
+
+    b1 = encode_jpeg(smooth, quality=85, subsampling="4:2:0")
+    b2 = encode_jpeg(smooth, quality=85, subsampling="4:2:0",
+                     restart_interval=2)
+    assert np.array_equal(decode_jpeg_pixels(b1), decode_jpeg_pixels(b2))
+
+
 def test_mp4_container_metadata():
     """ISO-BMFF box walk: dimensions/duration/sample-count recovered from
     the planted container; robust to interleaved free boxes, a 64-bit
