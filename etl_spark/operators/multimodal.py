@@ -8,7 +8,7 @@ NumPy + stdlib codecs ship (BMP across the DIB surface — palette,
 combination + Adam7 interlace; baseline JPEG with restart intervals;
 WAV across PCM 8/16/24/32, IEEE float, G.711 A-law/µ-law and
 WAVE_FORMAT_EXTENSIBLE; MP4/ISO-BMFF container metadata); only H.264
-frame decode and progressive JPEG raise ``NotImplementedError`` — a
+frame decode raises ``NotImplementedError`` — a
 production build plugs Pillow/ffmpeg into the same ``decode_stub``
 seam. ``fake/raw`` payloads decode
 deterministically so the generic pipeline stays testable end-to-end.
@@ -405,19 +405,24 @@ def decode_png(payload: bytes) -> dict[str, Any]:
     }
 
 
-# -- JPEG baseline codec (pure NumPy + stdlib — ITU-T T.81) ------------------
+# -- JPEG codec (pure NumPy + stdlib — ITU-T T.81) ---------------------------
 #
-# Baseline sequential DCT, 8-bit, any sampling factors (4:4:4 / 4:2:2 /
-# 4:2:0 / grayscale), restart intervals (DRI/RSTn), standard Annex K
-# quantization + Huffman tables. Encoder: RGB→YCbCr (BT.601/JFIF),
-# chroma box-average downsampling, blockwise orthonormal DCT via one
-# einsum, quality-scaled quantization (libjpeg formula), canonical
-# Huffman entropy coding with 0xFF byte stuffing. Decoder: full marker
-# walk (multi-table DQT/DHT segments, APPn/COM skip), Huffman tables
-# built FROM the bitstream's DHT (not the encoder's constants),
-# MCU-interleaved per-component block rasters, dequantize → vectorized
-# IDCT → nearest-neighbor chroma upsample → YCbCr→RGB. Out of scope
-# (NotImplementedError): progressive (SOF2), 12-bit precision.
+# Baseline sequential (SOF0) AND progressive (SOF2) DCT, 8-bit, any
+# sampling factors (4:4:4 / 4:2:2 / 4:2:0 / grayscale), restart
+# intervals (DRI/RSTn), standard Annex K quantization + Huffman tables.
+# Encoders: RGB→YCbCr (BT.601/JFIF), chroma box-average downsampling,
+# blockwise orthonormal DCT via one einsum, quality-scaled quantization
+# (libjpeg formula), canonical Huffman entropy coding with 0xFF byte
+# stuffing; the progressive encoder takes an arbitrary scan script
+# (spectral selection + successive approximation) and builds per-scan
+# OPTIMAL Huffman tables (T.81 Annex K two-pass). Decoder: full marker
+# walk (multi-table DQT/DHT segments, per-scan table snapshots, APPn/COM
+# skip), Huffman tables built FROM the bitstream's DHT (not the
+# encoder's constants), MCU-interleaved per-component block rasters,
+# progressive coefficient accumulation across scans (DC/AC first passes,
+# refinement correction bits, EOBn runs), dequantize → vectorized IDCT →
+# nearest-neighbor chroma upsample → YCbCr→RGB. Out of scope
+# (NotImplementedError): 12-bit precision, hierarchical/lossless SOFs.
 # Reference parity target: the decode path a production build would get
 # from Pillow — here spec-implemented because the sandbox has no codecs.
 
@@ -619,18 +624,11 @@ _JPEG_FACTORS = {  # subsampling name -> (Y, Cb, Cr) (H, V) sampling factors
 }
 
 
-def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0,
-                subsampling: str = "4:4:4") -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG —
-    real DCT + quantization + Huffman, pure NumPy + stdlib.
-    ``subsampling`` picks the chroma layout (4:4:4, 4:2:2, or 4:2:0 —
-    the last is what cameras and the web actually emit: chroma
-    box-averaged 2×2, MCUs of four Y blocks + one Cb + one Cr).
-    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
-    (cycling 0-7) every that-many MCUs, resetting the DC predictors —
-    the spec's mechanism for parallel/error-resilient scans."""
-    import struct
-
+def _jpeg_prepare(pixels, quality: int, subsampling: str):
+    """Shared encode front half: RGB→YCbCr, MCU padding, chroma
+    downsample, blockwise DCT + quantize. Returns
+    ``(planes_zz, qtabs, factors, h, w, ph, pw)`` — one (nbh, nbw, 64)
+    zigzag coefficient raster per component."""
     import numpy as np
 
     factors = _JPEG_FACTORS[subsampling]
@@ -663,22 +661,56 @@ def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0,
         if ry > 1 or rx > 1:  # box-average downsample
             plane = plane.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
         planes.append(_jpeg_plane_zigzag(plane, qmats[ci], m, zz))
+    return planes, qtabs, factors, h, w, ph, pw
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_headers(qtabs, factors, h: int, w: int, sof_marker: int) -> bytearray:
+    """SOI + JFIF APP0 + DQT + SOF — shared by the sequential and
+    progressive encoders (only the SOF marker differs: 0xC0 vs 0xC2)."""
+    import struct
+
+    import numpy as np
+
+    zz = np.array(_JPEG_ZZ)
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dqt = b"".join(
         bytes([tid]) + bytes(qtabs[tid][zz[i]] for i in range(64))
         for tid in (0, 1)
     )
-    out += seg(0xDB, dqt)
+    out += _jpeg_seg(0xDB, dqt)
     sof = struct.pack(">BHHB", 8, h, w, 3)
     for ci, (cid, qid) in enumerate(((1, 0), (2, 1), (3, 1))):
         fh, fv = factors[ci]
         sof += bytes([cid, fh << 4 | fv, qid])
-    out += seg(0xC0, sof)
+    out += _jpeg_seg(sof_marker, sof)
+    return out
+
+
+def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0,
+                subsampling: str = "4:4:4") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG —
+    real DCT + quantization + Huffman, pure NumPy + stdlib.
+    ``subsampling`` picks the chroma layout (4:4:4, 4:2:2, or 4:2:0 —
+    the last is what cameras and the web actually emit: chroma
+    box-averaged 2×2, MCUs of four Y blocks + one Cb + one Cr).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (cycling 0-7) every that-many MCUs, resetting the DC predictors —
+    the spec's mechanism for parallel/error-resilient scans."""
+    import struct
+
+    planes, qtabs, factors, h, w, ph, pw = _jpeg_prepare(
+        pixels, quality, subsampling)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    seg = _jpeg_seg
+    out = _jpeg_headers(qtabs, factors, h, w, 0xC0)
     dht = b"".join(
         bytes([(0 if kind == "dc" else 1) << 4 | tid]) + bytes(bits) + bytes(vals)
         for (kind, tid), (bits, vals) in _JPEG_HUFF.items()
@@ -712,6 +744,293 @@ def encode_jpeg(pixels, quality: int = 90, restart_interval: int = 0,
             mcu += 1
     bw.flush()
     out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_optimal_table(counts: dict[int, int]) -> tuple[list[int], list[int]]:
+    """T.81 Annex K.2/K.3: symbol frequencies → (BITS[16], HUFFVAL), code
+    lengths limited to 16 bits and the all-ones codeword reserved (the
+    spec's fictitious symbol 256, removed after length assignment) so
+    1-padding at segment ends can never alias a real code."""
+    freq = [0] * 257
+    for s, n in counts.items():
+        freq[s] = n
+    freq[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:  # Figure K.1: merge the two least-frequent trees
+        v1 = v2 = -1
+        for v in range(257):
+            if freq[v] <= 0:
+                continue
+            if v1 == -1 or freq[v] < freq[v1] or (freq[v] == freq[v1] and v > v1):
+                v2, v1 = v1, v
+            elif v2 == -1 or freq[v] < freq[v2] or (freq[v] == freq[v2] and v > v2):
+                v2 = v
+        if v2 == -1:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for v in range(257):
+        if codesize[v]:
+            bits[codesize[v]] += 1
+    i = 32  # Figure K.3: fold lengths >16 pairwise into shorter codes
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    if i > 0:
+        bits[i] -= 1  # drop the reserved (all-ones) codeword
+    huffval = [v for size in range(1, 33) for v in range(256)
+               if codesize[v] == size]
+    return bits[1:17], huffval
+
+
+class _JpegSymCount:
+    """Counting sink for the progressive encoder's first pass: tallies
+    Huffman symbols per table so per-scan optimal tables can be built;
+    appended raw bits don't affect table construction and are ignored."""
+
+    def __init__(self):
+        self.counts: dict[tuple, dict[int, int]] = {}
+
+    def sym(self, tid, s):
+        t = self.counts.setdefault(tid, {})
+        t[s] = t.get(s, 0) + 1
+
+    def bits(self, v, n):
+        pass
+
+
+class _JpegSymWrite:
+    """Writing sink: Huffman-codes symbols via per-table canonical codes
+    and streams raw bits straight into the stuffing bit writer."""
+
+    def __init__(self, bw: "_JpegBitWriter", codes: dict):
+        self.bw = bw
+        self.codes = codes
+
+    def sym(self, tid, s):
+        length, code = self.codes[tid][s]
+        self.bw.write(code, length)
+
+    def bits(self, v, n):
+        self.bw.write(v, n)
+
+
+def _jpeg_encode_scan(scan, planes, factors, nblocks, mcux, mcuy, sink):
+    """Drive one progressive scan's entropy coding through ``sink`` —
+    called twice per scan: with a counting sink (builds this scan's
+    optimal Huffman tables) then with the writer. T.81 G.1.2: DC scans
+    are interleaved over the scan's components (MCU raster) or a plain
+    block raster for one component; AC scans are always one component.
+    First passes (Ah=0) code the point-transformed values (>> Al); the
+    refinement passes (Ah>0) send one bit per already-coded coefficient
+    plus run-coded newly-significant ones."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    comps = scan["comps"]
+    if ss == 0:  # DC scan
+        prev = dict.fromkeys(comps, 0)
+
+        def blocks():
+            if len(comps) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for c in comps:
+                            fh, fv = factors[c]
+                            for vy in range(fv):
+                                for vx in range(fh):
+                                    yield c, my * fv + vy, mx * fh + vx
+            else:
+                bh, bw_ = nblocks[comps[0]]
+                for by in range(bh):
+                    for bx in range(bw_):
+                        yield comps[0], by, bx
+
+        for c, by, bx in blocks():
+            dc = int(planes[c][by, bx, 0])
+            if ah == 0:  # first pass: Huffman diff of (DC >> Al)
+                t = dc >> al  # arithmetic shift = the spec's point transform
+                diff = t - prev[c]
+                prev[c] = t
+                size = abs(diff).bit_length()
+                sink.sym(("dc", 0 if c == 0 else 1), size)
+                if size:
+                    sink.bits(diff if diff >= 0 else diff + (1 << size) - 1,
+                              size)
+            else:  # refinement: bit Al of each block's DC, no Huffman
+                sink.bits((dc >> al) & 1, 1)
+        return
+
+    # AC scan: one component, block raster over ITS grid
+    c = comps[0]
+    tid = ("ac", 0)
+    bh, bw_ = nblocks[c]
+    eobrun = 0
+    be: list[int] = []  # correction bits attached to the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            sink.sym(tid, n << 4)  # EOBn
+            if n:
+                sink.bits(eobrun - (1 << n), n)
+            for b in be:
+                sink.bits(b, 1)
+            be.clear()
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw_):
+            blk = planes[c][by, bx]
+            if ah == 0:  # first pass: run/size like sequential, plus EOBn
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    t = abs(v) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        sink.sym(tid, 0xF0)  # ZRL
+                        r -= 16
+                    size = t.bit_length()
+                    sink.sym(tid, (r << 4) | size)
+                    sink.bits(t if v > 0 else (1 << size) - 1 - t, size)
+                    r = 0
+                if r:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                continue
+            # refinement pass (G.1.2.3): stale coefficients' correction
+            # bits buffer up and ride the NEXT emitted symbol — ZRLs are
+            # emitted eagerly at every nonzero (stale or new), which is
+            # exactly what keeps the decoder's positional bit consumption
+            # in lockstep with this flush order
+            vals = [int(blk[k]) for k in range(ss, se + 1)]
+            tband = [abs(v) >> al for v in vals]
+            eobpos = max((i for i, t in enumerate(tband) if t == 1),
+                         default=-1)
+            br_bits: list[int] = []
+            r = 0
+            for i, t in enumerate(tband):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eobpos:
+                    flush_eob()
+                    sink.sym(tid, 0xF0)
+                    r -= 16
+                    for b in br_bits:
+                        sink.bits(b, 1)
+                    br_bits = []
+                if t > 1:  # already significant: buffer its next bit
+                    br_bits.append(t & 1)
+                    continue
+                flush_eob()  # newly significant at this precision
+                sink.sym(tid, (r << 4) | 1)
+                sink.bits(1 if vals[i] > 0 else 0, 1)
+                for b in br_bits:
+                    sink.bits(b, 1)
+                br_bits = []
+                r = 0
+            if r or br_bits:
+                eobrun += 1
+                be.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+#: default progressive scan script: interleaved DC first pass + DC
+#: refinement, then per component two spectral AC bands at Al=1 followed
+#: by their refinements to full precision — exercises every progressive
+#: decode path (spectral selection, successive approximation, EOBn runs).
+_JPEG_PROGRESSIVE_SCRIPT = (
+    [
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 1},
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 1, "al": 0},
+    ]
+    + [{"comps": [c], "ss": lo, "se": hi, "ah": 0, "al": 1}
+       for c in range(3) for lo, hi in ((1, 5), (6, 63))]
+    + [{"comps": [c], "ss": lo, "se": hi, "ah": 1, "al": 0}
+       for c in range(3) for lo, hi in ((1, 5), (6, 63))]
+)
+
+
+def encode_jpeg_progressive(pixels, quality: int = 90,
+                            subsampling: str = "4:4:4",
+                            scans: list[dict] | None = None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a PROGRESSIVE (SOF2) JFIF
+    JPEG. Same DCT/quantization as ``encode_jpeg`` (so a progressive
+    stream decodes to EXACTLY the pixels of its sequential sibling at
+    the same quality/subsampling — the roundtrip test's oracle); the
+    entropy layer re-orders coefficients across scans per the supplied
+    scan script (default: ``_JPEG_PROGRESSIVE_SCRIPT``). Huffman tables
+    are per-scan optimal (two-pass: count, build via T.81 Annex K, emit)
+    with a DHT segment before each SOS, the way real progressive
+    encoders work. ``scans`` entries: ``{"comps": [component indices],
+    "ss", "se", "ah", "al"}``."""
+    planes, qtabs, factors, h, w, ph, pw = _jpeg_prepare(
+        pixels, quality, subsampling)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = pw // (8 * hmax), ph // (8 * vmax)
+    nblocks = []
+    for fh, fv in factors:
+        cw = -(-(w * fh) // hmax)
+        ch = -(-(h * fv) // vmax)
+        nblocks.append((-(-ch // 8), -(-cw // 8)))
+
+    out = _jpeg_headers(qtabs, factors, h, w, 0xC2)
+    for scan in scans or _JPEG_PROGRESSIVE_SCRIPT:
+        counter = _JpegSymCount()
+        _jpeg_encode_scan(scan, planes, factors, nblocks, mcux, mcuy, counter)
+        tables = {tid: _jpeg_optimal_table(c)
+                  for tid, c in counter.counts.items()}
+        if tables:  # DC refinement scans carry no Huffman symbols at all
+            dht = b"".join(
+                bytes([(0 if kind == "dc" else 1) << 4 | tid])
+                + bytes(bits) + bytes(vals)
+                for (kind, tid), (bits, vals) in sorted(tables.items())
+            )
+            out += _jpeg_seg(0xC4, dht)
+        sos = bytes([len(scan["comps"])])
+        for c in scan["comps"]:
+            td = (0 if c == 0 else 1) if scan["ss"] == 0 else 0
+            ta = 0 if scan["ss"] == 0 else 0
+            sos += bytes([c + 1, td << 4 | ta])
+        sos += bytes([scan["ss"], scan["se"], scan["ah"] << 4 | scan["al"]])
+        out += _jpeg_seg(0xDA, sos)
+        bw = _JpegBitWriter()
+        codes = {tid: _jpeg_canonical_codes(bits, vals)
+                 for tid, (bits, vals) in tables.items()}
+        _jpeg_encode_scan(scan, planes, factors, nblocks, mcux, mcuy,
+                          _JpegSymWrite(bw, codes))
+        bw.flush()
+        out += bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -757,13 +1076,211 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _jpeg_decode_scan_baseline(sc, comps, coefs, mcux, mcuy):
+    """One sequential interleaved scan → raw quantized zigzag coefficients
+    (written into the per-component ``coefs`` arrays)."""
+    nc = len(comps)
+    restart, segs, tables = sc["restart"], sc["segs"], sc["tables"]
+    seg_idx = 0
+    br = _JpegBitReader(segs[0])
+    prev = [0] * nc
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu and mcu % restart == 0:
+                seg_idx += 1  # byte-aligned restart: fresh segment + DCs
+                if seg_idx >= len(segs):
+                    raise ValueError("missing JPEG restart segment")
+                br = _JpegBitReader(segs[seg_idx])
+                prev = [0] * nc
+            mcu += 1
+            for ci, comp in enumerate(comps):
+                dc_tbl, ac_tbl = tables[comp["id"]]
+                for vy in range(comp["v"]):
+                    for vx in range(comp["h"]):
+                        t = _jpeg_huff_decode(br, dc_tbl)
+                        prev[ci] += _jpeg_extend(br.bits(t), t)
+                        blk = coefs[ci][my * comp["v"] + vy, mx * comp["h"] + vx]
+                        blk[0] = prev[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_huff_decode(br, ac_tbl)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"bad JPEG AC symbol {sym:#x}")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overflow")
+                            blk[k] = _jpeg_extend(br.bits(size), size)
+                            k += 1
+
+
+def _jpeg_ac_first(br, table, blk, ss, se, al, eobrun) -> int:
+    """Progressive AC first pass (Ah=0) for one block's band — T.81
+    G.1.2.2: run/size coding like sequential, plus EOBn run-length codes
+    spanning blocks whose whole band is zero at this precision."""
+    if eobrun > 0:
+        return eobrun - 1  # this block is inside a pending EOB run
+    k = ss
+    while k <= se:
+        sym = _jpeg_huff_decode(br, table)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1  # EOBn: this block ends the coding
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC coefficient overflow")
+        blk[k] = _jpeg_extend(br.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_ac_refine(br, table, blk, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement (Ah>0) for one block's band — T.81
+    G.1.2.3: newly-significant coefficients arrive as (run, 1) symbols
+    with a sign bit; every already-nonzero coefficient passed on the way
+    (and every one in the band once an EOB run covers the block) consumes
+    one correction bit that may add ±(1<<Al) toward the true value."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(i):
+        # refine an already-nonzero coefficient: one buffered bit; apply
+        # it only if this pass hasn't already set bit Al (two's-complement
+        # & works for negatives in both C and Python)
+        if br.bit() and not (int(blk[i]) & p1):
+            blk[i] += p1 if blk[i] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _jpeg_huff_decode(br, table)
+            r, s = sym >> 4, sym & 0xF
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad JPEG refinement symbol")
+                val = p1 if br.bit() else m1
+            elif r != 15:
+                eobrun = 1 << r  # EOBn; this block's tail refines below
+                if r:
+                    eobrun += br.bits(r)
+                break
+            # advance over r zero-history positions, consuming one
+            # correction bit per nonzero coefficient passed (ZRL: r=15
+            # covers 16 zero-history slots, the 16th via the k += 1 below)
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB run: correction bits only, through band end
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan_progressive(sc, comps, cidx, coefs, nblocks, mcux, mcuy):
+    """One progressive scan (any spectral band / approximation bit) into
+    the raw zigzag coefficient accumulators."""
+    ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+    restart, segs, scomps = sc["restart"], sc["segs"], sc["comps"]
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC coefficients")
+    if ss > se or se > 63:
+        raise ValueError("invalid progressive spectral band")
+    state = {"seg": 0, "br": _JpegBitReader(segs[0]),
+             "prev": dict.fromkeys((cid for cid, _, _ in scomps), 0),
+             "eobrun": 0}
+
+    def advance_segment():
+        state["seg"] += 1
+        if state["seg"] >= len(segs):
+            raise ValueError("missing JPEG restart segment")
+        state["br"] = _JpegBitReader(segs[state["seg"]])
+        state["prev"] = dict.fromkeys(state["prev"], 0)
+        state["eobrun"] = 0
+
+    if ss == 0:  # DC scan: interleaved MCU raster, or block raster if ns=1
+        units: list[list[tuple[int, int, int]]] = []
+        if len(scomps) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for cid, _, _ in scomps:
+                        ci = cidx[cid]
+                        c = comps[ci]
+                        unit += [(ci, my * c["v"] + vy, mx * c["h"] + vx)
+                                 for vy in range(c["v"]) for vx in range(c["h"])]
+                    units.append(unit)
+        else:
+            ci = cidx[scomps[0][0]]
+            bh, bw_ = nblocks[ci]
+            units = [[(ci, by, bx)] for by in range(bh) for bx in range(bw_)]
+        for n, unit in enumerate(units):
+            if restart and n and n % restart == 0:
+                advance_segment()
+            br = state["br"]
+            for ci, by, bx in unit:
+                cid = comps[ci]["id"]
+                blk = coefs[ci][by, bx]
+                if ah == 0:  # first pass: Huffman diff of (DC >> Al)
+                    dc_tbl = sc["tables"][cid][0]
+                    t = _jpeg_huff_decode(br, dc_tbl)
+                    state["prev"][cid] += _jpeg_extend(br.bits(t), t)
+                    blk[0] = state["prev"][cid] << al
+                else:  # refinement: one raw bit per block
+                    blk[0] |= br.bit() << al
+    else:  # AC scan: spec requires non-interleaved (one component)
+        if len(scomps) > 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid = scomps[0][0]
+        ci = cidx[cid]
+        ac_tbl = sc["tables"][cid][1]
+        bh, bw_ = nblocks[ci]
+        n = 0
+        for by in range(bh):
+            for bx in range(bw_):
+                if restart and n and n % restart == 0:
+                    advance_segment()
+                n += 1
+                fn = _jpeg_ac_first if ah == 0 else _jpeg_ac_refine
+                state["eobrun"] = fn(
+                    state["br"], ac_tbl, coefs[ci][by, bx], ss, se, al,
+                    state["eobrun"],
+                )
+
+
 def decode_jpeg_pixels(payload: bytes):
-    """Decode a baseline sequential JPEG to an (h, w, 3) uint8 RGB
-    array — any sampling factors up to 4×4 (4:4:4 / 4:2:2 / 4:2:0 /
-    grayscale), interleaved MCUs with per-component block rasters and
-    nearest-neighbor chroma upsampling. Tables come from the
-    bitstream's own DQT/DHT segments; unknown APPn/COM segments are
-    skipped."""
+    """Decode a baseline sequential (SOF0) or progressive (SOF2) JPEG to
+    an (h, w, 3) uint8 RGB array — any sampling factors up to 4×4
+    (4:4:4 / 4:2:2 / 4:2:0 / grayscale), interleaved MCUs with
+    per-component block rasters and nearest-neighbor chroma upsampling.
+    Progressive streams may use any legal scan script: spectral selection
+    (per-band AC scans with EOBn run codes) and successive approximation
+    (DC/AC first passes at Al>0 plus refinement scans), with per-scan DHT
+    segments snapshotted at each SOS. Tables come from the bitstream's
+    own DQT/DHT segments; unknown APPn/COM segments are skipped."""
     import struct
 
     import numpy as np
@@ -776,8 +1293,8 @@ def decode_jpeg_pixels(payload: bytes):
     comps: list[dict[str, int]] = []
     h = w = 0
     restart = 0
-    scan = None
-    sel: dict[int, tuple[int, int]] = {}
+    progressive = False
+    scans: list[dict] = []
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -813,7 +1330,8 @@ def decode_jpeg_pixels(payload: bytes):
                 spec = _jpeg_canonical_codes(bits, vals)
                 huff[(cls, tid)] = {lc: s for s, lc in spec.items()}
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision")
@@ -821,39 +1339,53 @@ def decode_jpeg_pixels(payload: bytes):
                 cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "q": qid,
                               "h": samp >> 4, "v": samp & 0xF})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: header, then entropy-coded data
             ns = body[0]
+            scomps = []
             for si in range(ns):
                 cid, tt = body[1 + 2 * si], body[2 + 2 * si]
-                sel[cid] = (tt >> 4, tt & 0xF)
-            scan = [bytearray()]  # segments split at RSTn markers
+                scomps.append((cid, tt >> 4, tt & 0xF))
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            segs = [bytearray()]  # segments split at RSTn markers
             while pos < len(payload):
                 byte = payload[pos]
                 if byte != 0xFF:
-                    scan[-1].append(byte)
+                    segs[-1].append(byte)
                     pos += 1
                     continue
                 nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
                 if nxt == 0x00:  # stuffed 0xFF
-                    scan[-1].append(0xFF)
+                    segs[-1].append(0xFF)
                     pos += 2
                 elif 0xD0 <= nxt <= 0xD7:  # RSTn: new segment, DC resets
-                    scan.append(bytearray())
+                    segs.append(bytearray())
                     pos += 2
                 else:
-                    break  # next real marker (EOI) — leave pos on it
-    if not comps or scan is None:
+                    break  # next real marker (EOI/DHT/SOS) — leave pos on it
+            scans.append({
+                "comps": scomps, "ss": ss, "se": se,
+                "ah": a >> 4, "al": a & 0xF,
+                "segs": [bytes(s) for s in segs],
+                "restart": restart,
+                # snapshot: later DHT segments rebind (cls, tid) for later
+                # scans; this scan decodes with the tables current at ITS SOS
+                "tables": {cid: (huff.get((0, d)), huff.get((1, ac)))
+                           for cid, d, ac in scomps},
+            })
+    if not comps or not scans:
         raise ValueError("missing SOF/SOS in JPEG payload")
-    if restart == 0 and len(scan) > 1:
-        raise ValueError("RST marker in scan without a DRI interval")
+    for sc in scans:
+        if sc["restart"] == 0 and len(sc["segs"]) > 1:
+            raise ValueError("RST marker in scan without a DRI interval")
 
     nc = len(comps)
-    if nc == 1:  # a single-component scan is non-interleaved: plain 8x8 grid
+    if nc == 1:  # a single-component frame is non-interleaved: plain 8x8 grid
         comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -861,59 +1393,38 @@ def decode_jpeg_pixels(payload: bytes):
         raise ValueError("invalid JPEG sampling factors")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8)) for c in comps]
-    zz = np.array(_JPEG_ZZ)
-    seg_idx = 0
-    br = _JpegBitReader(bytes(scan[0]))
-    prev = [0] * nc
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu and mcu % restart == 0:
-                seg_idx += 1  # byte-aligned restart: fresh segment + DCs
-                if seg_idx >= len(scan):
-                    raise ValueError("missing JPEG restart segment")
-                br = _JpegBitReader(bytes(scan[seg_idx]))
-                prev = [0] * nc
-            mcu += 1
-            for ci, comp in enumerate(comps):
-                dc_id, ac_id = sel[comp["id"]]
-                for vy in range(comp["v"]):
-                    for vx in range(comp["h"]):
-                        t = _jpeg_huff_decode(br, huff[(0, dc_id)])
-                        prev[ci] += _jpeg_extend(br.bits(t), t)
-                        blk = np.zeros(64)
-                        blk[0] = prev[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _jpeg_huff_decode(br, huff[(1, ac_id)])
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError(
-                                        f"bad JPEG AC symbol {sym:#x}")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC coefficient overflow")
-                            blk[k] = _jpeg_extend(br.bits(size), size)
-                            k += 1
-                        nat = np.zeros(64)
-                        nat[zz] = blk
-                        coefs[ci][my * comp["v"] + vy, mx * comp["h"] + vx] = (
-                            nat.reshape(8, 8) * qt[comp["q"]]
-                        )
+    cidx = {c["id"]: i for i, c in enumerate(comps)}
+    # raw quantized coefficients in ZIGZAG order, accumulated across scans
+    # (progressive: several scans contribute bits/bands to the same block);
+    # dequantization and IDCT happen once, after every scan has landed
+    coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+             for c in comps]
+    # true per-component block grids for non-interleaved scans (T.81 A.2.2)
+    nblocks = []
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        nblocks.append((-(-ch // 8), -(-cw // 8)))
 
+    if progressive:
+        for sc in scans:
+            _jpeg_decode_scan_progressive(
+                sc, comps, cidx, coefs, nblocks, mcux, mcuy)
+    else:
+        _jpeg_decode_scan_baseline(scans[0], comps, coefs, mcux, mcuy)
+
+    zz = np.array(_JPEG_ZZ)
     m = _jpeg_dct_mat()
     planes = []
     yy = np.arange(h)
     xx = np.arange(w)
     for ci, comp in enumerate(comps):
-        sp = np.einsum("ji,abjk,kl->abil", m, coefs[ci], m) + 128.0
         bh, bw_ = coefs[ci].shape[:2]
+        # zigzag → natural order, then dequantize (once, post-scans)
+        nat = np.zeros((bh, bw_, 64))
+        nat[..., zz] = coefs[ci].astype(np.float64)
+        deq = nat.reshape(bh, bw_, 8, 8) * qt[comp["q"]]
+        sp = np.einsum("ji,abjk,kl->abil", m, deq, m) + 128.0
         plane = sp.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
         # nearest-neighbor upsample straight onto the (h, w) output grid
         planes.append(plane[(yy * comp["v"] // vmax)[:, None],
@@ -935,7 +1446,8 @@ def decode_jpeg_pixels(payload: bytes):
 
 
 def decode_jpeg(payload: bytes) -> dict[str, Any]:
-    """Decode a baseline JPEG: dimensions + pixel statistics, matching
+    """Decode a baseline or progressive JPEG: dimensions + pixel
+    statistics, matching
     ``decode_bmp``/``decode_png``'s output shape (stats are approximate —
     JPEG is lossy — but dimensions are exact)."""
     rgb = decode_jpeg_pixels(payload)
@@ -1343,14 +1855,18 @@ def png_from_docs(docs: DataFrame, id_col: str = "doc_id",
 
 def jpeg_from_docs(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", quality: int = 95,
-                   min_partitions: int = 0) -> DataFrame:
+                   min_partitions: int = 0,
+                   progressive: bool = False) -> DataFrame:
     """Planted JPEG fixture: same ``_planted_pixels`` formula through the
-    real baseline DCT encoder. JPEG is lossy, so the analytic oracle can
+    real DCT encoder — sequential (SOF0) by default, ``progressive=True``
+    for the SOF2 multi-scan encoder (same quantized coefficients, so both
+    decode to identical pixels). JPEG is lossy, so the analytic oracle can
     check dimensions exactly and pixel stats only to a tolerance — see
     ``media_decode_jpeg``. Pass ``min_partitions`` when the input is a
     few small splits: the DCT+Huffman work is Python-side CPU."""
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
     return _media_from_docs(
-        docs, lambda px: encode_jpeg(px, quality), "image/jpeg",
+        docs, lambda px: enc(px, quality), "image/jpeg",
         id_col, text_col, min_partitions=min_partitions,
     )
 

@@ -564,6 +564,47 @@ def media_decode_mp4(spark, sf_dir):
     return decode_mp4_features(mp4_from_docs(_t(spark, sf_dir, "documents")))
 
 
+# Progressive (SOF2) JPEG through the same planted fixture. The scan
+# re-ordering is lossless over the SAME quantized coefficients, so the
+# progressive stream must decode to pixels EXACTLY equal to its
+# sequential sibling — the Spark side decodes BOTH streams and outputs a
+# literal-equality boolean; dimensions stay closed-form-checked.
+_MEDIA_DECODE_JPEG_PROG_ORACLE = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents)
+SELECT doc_id AS media_id,
+       CAST(4 + L % 29 AS INTEGER) AS width,
+       CAST(3 + L % 13 AS INTEGER) AS height,
+       TRUE AS prog_equals_seq
+FROM d
+"""
+
+
+@register("media_decode_jpeg_prog", _MEDIA_DECODE_JPEG_PROG_ORACLE)
+def media_decode_jpeg_prog(spark, sf_dir):
+    from .operators.multimodal import decode_jpeg_features, jpeg_from_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    prog = decode_jpeg_features(
+        jpeg_from_docs(docs, min_partitions=par, progressive=True))
+    seq = decode_jpeg_features(jpeg_from_docs(docs, min_partitions=par))
+    s = seq.select(
+        F.col("media_id"),
+        F.col("width").alias("s_w"), F.col("height").alias("s_h"),
+        F.col("mean_px").alias("s_mean"),
+        F.col("top_row_mean").alias("s_top"),
+    )
+    return prog.join(s, "media_id").select(
+        "media_id", "width", "height",
+        (
+            (F.col("width") == F.col("s_w"))
+            & (F.col("height") == F.col("s_h"))
+            & (F.col("mean_px") == F.col("s_mean"))
+            & (F.col("top_row_mean") == F.col("s_top"))
+        ).alias("prog_equals_seq"),
+    )
+
+
 @register("media_decode_jpeg", _MEDIA_DECODE_JPEG_ORACLE)
 def media_decode_jpeg(spark, sf_dir):
     from .operators.multimodal import decode_jpeg_features, jpeg_from_docs

@@ -158,6 +158,10 @@ SUITE_SPECS: dict[str, tuple[dict, list]] = {
                              "height": "height",
                              "mean_within_1": "mean_within_1",
                              "top_within_1": "top_within_1"}),
+            "decode_jpeg_prog": ("media_decode_jpeg_prog",
+                                 {"media_id": "media_id", "width": "width",
+                                  "height": "height",
+                                  "prog_equals_seq": "prog_equals_seq"}),
             "decode_mp4": ("media_decode_mp4",
                            {"media_id": "media_id", "width": "width",
                             "height": "height", "duration_s": "duration_s",
@@ -166,7 +170,8 @@ SUITE_SPECS: dict[str, tuple[dict, list]] = {
         [("media_id", "d"), ("mime", "s"), ("n_bytes", "d"), ("width", "d"),
          ("height", "d"), ("checksum", "s"), ("mean_px", "d"),
          ("top_row_mean", "d"), ("mean_within_1", "s"),
-         ("top_within_1", "s"), ("duration_s", "d"), ("n_samples", "d")],
+         ("top_within_1", "s"), ("prog_equals_seq", "s"),
+         ("duration_s", "d"), ("n_samples", "d")],
     ),
 }
 

@@ -771,14 +771,25 @@ def test_jpeg_decoder_marker_robustness():
     ])
     assert np.array_equal(decode_jpeg_pixels(rearranged), base)
 
-    # unsupported: progressive (SOF2), restart intervals, junk payloads
+    # a baseline stream RELABELED as progressive is malformed: its single
+    # interleaved scan spans Ss=0..Se=63, and a progressive scan must not
+    # mix DC and AC coefficients (real SOF2 support is tested in
+    # test_jpeg_progressive_*)
     sof2 = by_tag["c0"].replace(b"\xff\xc0", b"\xff\xc2", 1)
     progressive = rebuild(
         [by_tag["SOI"], by_tag["e0"], by_tag["db"], sof2,
          by_tag["c4"], by_tag["SOS"], by_tag["EOI"]]
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg_pixels(progressive)
+    # still-unsupported SOF types fail loudly
+    sof1 = by_tag["c0"].replace(b"\xff\xc0", b"\xff\xc1", 1)
+    extended = rebuild(
+        [by_tag["SOI"], by_tag["e0"], by_tag["db"], sof1,
+         by_tag["c4"], by_tag["SOS"], by_tag["EOI"]]
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(extended)
     # a DRI spliced onto a scan with no RST markers is malformed
     with_dri = rebuild(
         [by_tag["SOI"], by_tag["e0"], by_tag["db"], by_tag["c0"],
@@ -820,6 +831,87 @@ def test_jpeg_restart_intervals():
     no_dri = buf[:i] + buf[i + 6 :]
     with pytest.raises(ValueError):
         decode_jpeg_pixels(no_dri)
+
+
+def test_jpeg_progressive_exact_vs_sequential():
+    """Progressive (SOF2) decode: a progressive stream re-orders the SAME
+    quantized coefficients across scans, so at equal quality/subsampling
+    it must decode to pixels EXACTLY equal to its sequential sibling —
+    the strongest possible oracle, no tolerance. Default scan script:
+    DC first pass (Al=1) + DC refinement, two spectral AC bands per
+    component at Al=1 + their refinements — every progressive decode path
+    (spectral selection, successive approximation, EOBn runs, per-scan
+    optimized DHT) in one stream."""
+    import numpy as np
+
+    from etl_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in ((24, 24), (17, 31)):  # aligned + MCU-padded dims
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        for sub in ("4:4:4", "4:2:2", "4:2:0"):
+            for q in (50, 95):
+                buf = encode_jpeg_progressive(img, quality=q, subsampling=sub)
+                assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf[:200]
+                base = decode_jpeg_pixels(
+                    encode_jpeg(img, quality=q, subsampling=sub))
+                assert np.array_equal(decode_jpeg_pixels(buf), base), (shape, sub, q)
+
+
+def test_jpeg_progressive_scan_scripts():
+    """Scan-script generality: multi-level successive approximation
+    (Al=2 → 1 → 0 refinement chains), spectral-selection-only scripts,
+    and three-band splits all reproduce the sequential decode exactly —
+    on noise (dense refinement traffic), a constant image (one giant
+    EOB run / single-symbol Huffman tables), and block art (long zero
+    runs inside blocks: ZRL + correction-bit interleaving)."""
+    import numpy as np
+
+    from etl_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    deep = (
+        [{"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 2},
+         {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 2, "al": 1},
+         {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 1, "al": 0}]
+        + [{"comps": [c], "ss": 1, "se": 63, "ah": a, "al": al}
+           for a, al in ((0, 2), (2, 1), (1, 0)) for c in range(3)]
+    )
+    spectral_only = (
+        [{"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 0}]
+        + [{"comps": [c], "ss": lo, "se": hi, "ah": 0, "al": 0}
+           for c in range(3) for lo, hi in ((1, 2), (3, 9), (10, 35), (36, 63))]
+    )
+    three_band = (
+        [{"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 1},
+         {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 1, "al": 0}]
+        + [{"comps": [c], "ss": lo, "se": hi, "ah": a, "al": al}
+           for a, al in ((0, 2), (2, 1), (1, 0)) for c in range(3)
+           for lo, hi in ((1, 1), (2, 20), (21, 63))]
+    )
+    imgs = {
+        "noise": rng.integers(0, 256, (40, 40, 3)).astype(np.uint8),
+        "constant": np.full((40, 40, 3), 137, np.uint8),
+        "blocks": np.kron(rng.integers(0, 256, (5, 5, 3)),
+                          np.ones((8, 8, 1))).astype(np.uint8),
+    }
+    for name, img in imgs.items():
+        for sub in ("4:4:4", "4:2:0"):
+            base = decode_jpeg_pixels(encode_jpeg(img, quality=75,
+                                                  subsampling=sub))
+            for sname, script in (("deep", deep), ("spectral", spectral_only),
+                                  ("3band", three_band)):
+                out = decode_jpeg_pixels(encode_jpeg_progressive(
+                    img, quality=75, subsampling=sub, scans=script))
+                assert np.array_equal(out, base), (name, sub, sname)
 
 
 def test_jpeg_chroma_subsampling():
