@@ -759,19 +759,20 @@ def _jpeg_optimal_table(counts: dict[int, int]) -> tuple[list[int], list[int]]:
     freq[256] = 1
     codesize = [0] * 257
     others = [-1] * 257
-    while True:  # Figure K.1: merge the two least-frequent trees
+    # K.2's "find the two least-frequent trees" loop, over ACTIVE roots
+    # only (tiny scans have a handful of symbols; scanning all 257 slots
+    # per merge made per-scan table building the encoder's hot spot)
+    active = [v for v in range(257) if freq[v] > 0]
+    while len(active) > 1:
         v1 = v2 = -1
-        for v in range(257):
-            if freq[v] <= 0:
-                continue
+        for v in active:  # least freq wins; ties -> larger value (K.2)
             if v1 == -1 or freq[v] < freq[v1] or (freq[v] == freq[v1] and v > v1):
                 v2, v1 = v1, v
             elif v2 == -1 or freq[v] < freq[v2] or (freq[v] == freq[v2] and v > v2):
                 v2 = v
-        if v2 == -1:
-            break
         freq[v1] += freq[v2]
         freq[v2] = 0
+        active.remove(v2)
         codesize[v1] += 1
         while others[v1] != -1:
             v1 = others[v1]
@@ -800,8 +801,8 @@ def _jpeg_optimal_table(counts: dict[int, int]) -> tuple[list[int], list[int]]:
         i -= 1
     if i > 0:
         bits[i] -= 1  # drop the reserved (all-ones) codeword
-    huffval = [v for size in range(1, 33) for v in range(256)
-               if codesize[v] == size]
+    huffval = sorted((v for v in range(256) if codesize[v]),
+                     key=lambda v: (codesize[v], v))
     return bits[1:17], huffval
 
 
