@@ -48,6 +48,14 @@ def cosine(a, b) -> "F.Column":
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(a) -> "F.Column":
+    """L2 norm with the SAME fold order as ``cosine``'s denominator —
+    precomputing it once per vector (instead of once per candidate pair)
+    is bit-identical because each dot product keeps its own sequential
+    fold; only the evaluation count changes."""
+    return F.sqrt(dot(a, a))
+
+
 def _plane_component(p: int, d) -> "F.Column":
     """Deterministic hyperplane component in [-7.5, 7.5]: the value of a
     hex digit of md5('p{p}|{d}') minus 7.5 (zero-mean)."""
@@ -337,12 +345,23 @@ def embedding_near_dups(
             .where(F.col("_n") <= max_block).select("_blk")
         )
         base = base.join(small, "_blk", "left_semi")
-    left = base.select("_blk", F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
-    right = base.select("_blk", F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    # norm once per vector (N evaluations), not once per pair (~N²/blocks):
+    # the quadratic stage then pays only the cross-pair dot product
+    base = base.withColumn("_n", norm(F.col("_v")))
+    left = base.select(
+        "_blk", F.col("_id").alias("id_a"),
+        F.col("_v").alias("v_a"), F.col("_n").alias("n_a"),
+    )
+    right = base.select(
+        "_blk", F.col("_id").alias("id_b"),
+        F.col("_v").alias("v_b"), F.col("_n").alias("n_b"),
+    )
     return (
         left.join(right, "_blk")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .withColumn(
+            "cos", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
     )
@@ -479,13 +498,25 @@ def embedding_near_dups_lsh(
     ).select("_id", "_tbl", "_sig")  # narrow: no vectors through the shuffle
 
     cand = bucket_pairs(signed, ["_tbl", "_sig"], "_id", max_bucket)
-    base = vectors.select(F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rv"))
+    # norm once per vector on the re-attach side — candidate pairs then
+    # pay one dot product each instead of three (see ``norm``)
+    base = vectors.select(
+        F.col(id_col).alias("_rid"),
+        F.col(vec_col).alias("_rv"),
+        norm(F.col(vec_col)).alias("_rn"),
+    )
     pairs = (
-        cand.join(base.select(F.col("_rid").alias("id_a"), F.col("_rv").alias("v_a")), "id_a")
-        .join(base.select(F.col("_rid").alias("id_b"), F.col("_rv").alias("v_b")), "id_b")
+        cand.join(
+            base.select(F.col("_rid").alias("id_a"), F.col("_rv").alias("v_a"),
+                        F.col("_rn").alias("n_a")), "id_a")
+        .join(
+            base.select(F.col("_rid").alias("id_b"), F.col("_rv").alias("v_b"),
+                        F.col("_rn").alias("n_b")), "id_b")
     )
     return (
-        pairs.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        pairs.withColumn(
+            "cos", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
     )
