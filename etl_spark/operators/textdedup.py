@@ -111,7 +111,23 @@ def lsh_bands(shingles, num_bands: int = 4, rows_per_band: int = 4) -> "F.Column
 
 
 def jaccard(a, b) -> "F.Column":
-    """Exact Jaccard over two distinct-element arrays."""
+    """Exact Jaccard over two distinct-element arrays.
+
+    Measured dead end (don't retry): precomputing |A|,|B| per document
+    and using |A∪B| = |A|+|B|−|A∩B| to skip the union array is 2.7×
+    SLOWER here (1.9 s → 5.1 s on the sf0.1 blocked form). Two reasons,
+    both visible in the executed plan: (1) the verify predicate is
+    inlined into the join condition, where ``array_intersect`` appears
+    in both numerator and denominator and join-condition evaluation does
+    NOT do common-subexpression elimination — two intersects replace one
+    intersect + one union, a wash at best; (2) null-constraint
+    propagation on the derived size column re-materializes the whole
+    shingle expression (``array_distinct(transform(...))``) inside the
+    scan-level ``isnotnull`` filter — an extra full shingling pass per
+    document. The same per-row precompute IS a win for cosine norms in
+    similarity.py, where it removes two of three array folds per pair
+    and the attached norm is a plain double.
+    """
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return inter / union
