@@ -119,6 +119,49 @@ def test_all_strategies_agree_under_wal_contract(spark, rows):
     assert _tuples(outs[0]) == _pandas_lww_oracle(rows)
 
 
+_wide_ts = st.datetimes(
+    min_value=dt.datetime(1905, 1, 1),  # negative unix micros in scope
+    max_value=dt.datetime(2200, 1, 1),
+)
+_pack_pair = st.tuples(
+    _wide_ts, st.integers(min_value=0, max_value=2**62),
+    _wide_ts, st.integers(min_value=0, max_value=2**62),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(pairs=st.lists(_pack_pair, min_size=1, max_size=64))
+def test_pack_order_preserves_lexicographic_order(spark, pairs):
+    """pack_order (the narrow strategy's fixed-width order key) must
+    compare exactly like the (op_ts, lsn) tuple — including pre-1970
+    timestamps (negative unix micros) and lsn up to 2^62."""
+    import pyspark.sql.types as T
+
+    from etl_spark.cdc.dedup import pack_order
+
+    schema = T.StructType([
+        T.StructField("a_ts", T.TimestampType()),
+        T.StructField("a_lsn", T.LongType()),
+        T.StructField("b_ts", T.TimestampType()),
+        T.StructField("b_lsn", T.LongType()),
+    ])
+    df = spark.createDataFrame(pairs, schema=schema)
+    import pyspark.sql.functions as F
+
+    pa = pack_order(F.col("a_ts"), F.col("a_lsn"))
+    pb = pack_order(F.col("b_ts"), F.col("b_lsn"))
+    got = df.select(
+        F.when(pa < pb, -1).when(pa > pb, 1).otherwise(0).alias("cmp")
+    ).collect()
+    for (a_ts, a_lsn, b_ts, b_lsn), row in zip(pairs, got):
+        want = ((a_ts, a_lsn) > (b_ts, b_lsn)) - ((a_ts, a_lsn) < (b_ts, b_lsn))
+        assert row.cmp == want, (a_ts, a_lsn, b_ts, b_lsn)
+
+
 @settings(
     max_examples=10,
     deadline=None,
