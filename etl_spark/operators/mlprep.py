@@ -380,22 +380,21 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the pre-update label through the checkpoint: the
+        # convergence check is then a scan of the materialized frame
+        # instead of a second shuffle join against the old labels
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                         ).alias("label"),
+                F.col("label").alias("_prev"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels = updated
+        changed = updated.where(F.col("label") != F.col("_prev")).count()
+        labels = updated.select("id", "label")
         if changed == 0:
             break
     else:
