@@ -140,21 +140,43 @@ def discover_route_values(changes: DataFrame, route_col: str = "role") -> list[s
     return discover_routes(changes, route_col)[0]
 
 
+def _safe_route_value(val: str) -> bool:
+    """Is ``val`` usable as a table directory name under base_path?
+
+    Route values are DATA — a crafted value like ``'../spine'`` or an
+    empty string must never become a path component (``os.path.join``
+    would escape base_path and MERGE-apply routed rows into an unrelated
+    table). Unsafe values are not errors: they are simply unroutable and
+    land in the rest table like unknown/NULL values do."""
+    return (
+        bool(val)
+        and val not in (".", "..")
+        and "/" not in val
+        and "\\" not in val
+        and "\x00" not in val
+    )
+
+
 def discover_routes(
     changes: DataFrame, route_col: str = "role"
 ) -> tuple[list[str], bool]:
-    """(distinct non-null route values, does the batch carry a NON-delete
-    row with a NULL route value). The NULL-non-delete flag rides the same
-    single aggregation: such a row is DATA that matches no per-value
-    table — it must land in a rest table or the fan-out loses it."""
+    """(distinct routable route values, does the batch carry a NON-delete
+    row that no per-value table will match — NULL or path-unsafe route
+    value). The flag rides the same single aggregation: such a row is
+    DATA — it must land in a rest table or the fan-out loses it. Values
+    failing :func:`_safe_route_value` are excluded from the table list
+    (never used as a path component) and raise the flag instead."""
     rows = (
         changes.groupBy(route_col)
         .agg(F.max(F.when(F.col("op") != "D", 1).otherwise(0)).alias("_nd"))
         .collect()
     )
-    vals = sorted(r[route_col] for r in rows if r[route_col] is not None)
-    null_nondelete = any(r[route_col] is None and r["_nd"] == 1 for r in rows)
-    return vals, null_nondelete
+    nonnull = [r for r in rows if r[route_col] is not None]
+    vals = sorted(r[route_col] for r in nonnull if _safe_route_value(r[route_col]))
+    need_rest = any(r[route_col] is None and r["_nd"] == 1 for r in rows) or any(
+        not _safe_route_value(r[route_col]) and r["_nd"] == 1 for r in nonnull
+    )
+    return vals, need_rest
 
 
 def _ensure_tables(
@@ -170,6 +192,14 @@ def _ensure_tables(
     from .engine import CdcEngine
 
     for val in vals:
+        if not _safe_route_value(val):
+            # defense in depth for direct callers — discover_routes already
+            # diverts these to the rest table before they reach here
+            raise ValueError(
+                f"route value {val!r} is not a safe path component (empty, "
+                f"'.', '..', or contains a separator) — it cannot name a "
+                f"table directory under {base_path!r}"
+            )
         if rest_name is not None and val == rest_name:
             raise ValueError(
                 f"route value {val!r} collides with the rest table name — "
@@ -202,10 +232,10 @@ def _ensure_rest(
         return rest
     if rest_name is None:
         raise ValueError(
-            f"batch carries non-delete rows with a NULL route value and no "
-            f"rest table is configured — they would vanish from every routed "
-            f"table. Pass rest_name= (default '__rest__') or clean the NULLs "
-            f"upstream."
+            f"batch carries non-delete rows with a NULL or path-unsafe "
+            f"route value and no rest table is configured — they would "
+            f"vanish from every routed table. Pass rest_name= (default "
+            f"'__rest__') or clean the values upstream."
         )
     return CdcEngine(
         spark, os.path.join(base_path, rest_name), num_buckets=num_buckets

@@ -281,6 +281,66 @@ def test_route_replay_no_rest_fails_loudly(spark, tmp_path):
     changes = changes.withColumn("role", F.lit(None).cast("string"))
     log = str(tmp_path / "log")
     changes.drop("epoch").write.parquet(os.path.join(log, "epoch=00000"))
-    with _pytest.raises(ValueError, match="NULL route"):
+    with _pytest.raises(ValueError, match="NULL or path-unsafe"):
         list(route_replay(spark, log, str(tmp_path / "routed"),
                           route_col="role", num_buckets=4, rest_name=None))
+
+
+def test_route_replay_path_unsafe_values_land_in_rest(spark, tmp_path):
+    """Route values are DATA. A crafted value like '../spine' or '' must
+    never become a path component (it would MERGE routed rows — and, in
+    general mode, tombstones for every other row — into an unrelated
+    table). Unsafe values are unroutable: they land in the rest table,
+    nothing is created outside base_path, and the union of routed
+    snapshots still equals the spine."""
+    import os
+
+    from etl_spark.cdc.router import _ensure_tables, route_replay
+    from etl_spark.lake.table import LakeTable
+
+    changes = gen_changes(spark, 3_000, n_convs=30, n_epochs=2)
+    evil = (
+        F.when(F.abs(F.xxhash64("conv_id")) % 5 == 0, F.lit("../spine"))
+        .when(F.abs(F.xxhash64("conv_id")) % 5 == 1, F.lit(""))
+        .otherwise(F.col("role"))
+    )
+    changes = changes.withColumn(
+        "role", F.when(F.col("op") == "D", F.col("role")).otherwise(evil)
+    )
+    log = str(tmp_path / "log")
+    for ep in (0, 1):
+        changes.where(F.col("epoch") == ep).drop("epoch").write.parquet(
+            os.path.join(log, f"epoch={ep:05d}")
+        )
+    spine = CdcEngine(spark, str(tmp_path / "spine"), num_buckets=4)
+    spine.replay(log)
+
+    base = str(tmp_path / "routed")
+    list(route_replay(spark, log, base, route_col="role", num_buckets=4))
+
+    # nothing escaped base_path: tmp_path holds exactly log, spine, routed
+    assert sorted(os.listdir(tmp_path)) == ["log", "routed", "spine"]
+    names = sorted(os.listdir(base))
+    assert "__rest__" in names
+    assert all("/" not in n and n not in (".", "..") for n in names)
+
+    rest = LakeTable(spark, os.path.join(base, "__rest__")).snapshot_df()
+    # rest holds exactly the unroutable rows (crafted values and nothing
+    # with a value that got its own table)
+    routable = [n for n in names if n != "__rest__"]
+    assert rest.count() > 0
+    assert rest.where(F.col("role").isin(routable)).count() == 0
+    assert rest.where(F.col("role") == "../spine").count() > 0
+
+    union = None
+    for v in names:
+        df = LakeTable(spark, os.path.join(base, v)).snapshot_df()
+        union = df if union is None else union.unionByName(df)
+    spine_df = spine.table.snapshot_df()
+    assert union.count() == spine_df.count()
+    assert union.exceptAll(spine_df).count() == 0
+
+    # defense in depth: a direct caller handing an unsafe value to
+    # _ensure_tables fails loudly instead of joining the path
+    with pytest.raises(ValueError, match="not a safe path component"):
+        _ensure_tables(spark, base, {}, ["../oops"], 4, "__rest__")
