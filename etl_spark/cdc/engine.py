@@ -100,10 +100,14 @@ class CdcEngine:
         if LakeTable.exists(table_path, store=store):
             self.table = LakeTable(spark, table_path, store=store)
         else:
+            # if_not_exists: two engines racing onto a fresh path (the
+            # racing-applier scenario apply_batch already fences) must
+            # both converge on the one created table, not crash the
+            # reservation loser at startup
             self.table = LakeTable.create(
                 spark, table_path, TRANSCRIPT_SCHEMA, bucket_key="conv_id",
                 num_buckets=num_buckets, compact_threshold=compact_threshold,
-                write_width=write_width, store=store,
+                write_width=write_width, store=store, if_not_exists=True,
             )
         self.lineage = LineageLog(os.path.join(table_path, "_lineage", "lineage.jsonl"))
         self.alerts_path = os.path.join(table_path, "_lineage", "alerts.jsonl")

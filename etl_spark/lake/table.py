@@ -167,7 +167,23 @@ class LakeTable:
             # leaf), "schema_version": int, "ts_stats": {min,max,nulls,rows}|None}
             "files": {},
         }
-        store.publish_json(0, meta)
+        try:
+            store.publish_json(0, meta)
+        except ConcurrentCommitError:
+            # lost the v0 reservation to a racing creator — the table now
+            # exists; under if_not_exists that is success, not failure
+            # (the read_hint() pre-check above is advisory only: two
+            # creators can both see None before either publishes)
+            if if_not_exists:
+                # v0 is published but the winner may not have flipped the
+                # hint yet — write it ourselves so the re-open below never
+                # sees "no table". The hint is advisory (metastore contract
+                # property 5): a duplicate or even regressed hint write is
+                # healed by _load_meta's probe-forward.
+                if store.read_hint() is None:
+                    store.write_hint(0)
+                return LakeTable(spark, path, store=store)
+            raise FileExistsError(f"table already exists at {path}")
         store.write_hint(0)
         return LakeTable(spark, path, store=store)
 
