@@ -102,11 +102,31 @@ def close_due_partitions(
             )
             newly.append(mark)
     if newly:
-        meta = json.loads(json.dumps(table._meta))
-        cp = meta.setdefault("closed_partitions", {})
-        for m in newly:
-            cp[m["day"]] = {k: v for k, v in m.items() if k != "day"}
-        table._commit_meta(meta)
+        # optimistic-retry like every other commit path: the close job
+        # runs alongside streaming applies, so losing the metadata-version
+        # race is routine, and the closed_partitions merge is trivially
+        # rebasable onto fresh state. A racing CLOSER may have closed some
+        # of our days first — exactly-once per day means their mark wins.
+        from ..lake.table import CommitConflictError, ConcurrentCommitError
+
+        for _attempt in range(table.MAX_COMMIT_RETRIES):
+            meta = json.loads(json.dumps(table._meta))
+            cp = meta.setdefault("closed_partitions", {})
+            newly = [m for m in newly if m["day"] not in cp]
+            if not newly:
+                break
+            for m in newly:
+                cp[m["day"]] = {k: v for k, v in m.items() if k != "day"}
+            try:
+                table._commit_meta(meta)
+                break
+            except ConcurrentCommitError:
+                table.refresh()
+        else:
+            raise CommitConflictError(
+                f"close_due_partitions lost the metadata race "
+                f"{table.MAX_COMMIT_RETRIES} times — giving up"
+            )
     return newly
 
 

@@ -77,3 +77,68 @@ def test_restatement_detection(table):
     assert rs, "new delta leaves in closed days must surface as restatements"
     assert all(r["day"] in closed_partitions(table) for r in rs)
     log.unpersist()
+
+
+def test_close_survives_concurrent_commit(spark, table, tmp_path):
+    """close_due_partitions runs alongside streaming applies — losing the
+    metadata-version race between its refresh() and commit is routine and
+    must be retried (rebased onto fresh state), not raised. Injected
+    deterministically: the first commit attempt is preceded by a
+    competing commit through a second handle on the same table."""
+    from etl_spark.lake.table import LakeTable
+
+    other = LakeTable(spark, table.path)
+    real_commit = type(table)._commit_meta
+    fired = {"n": 0}
+
+    def racy_commit(meta):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # competing writer bumps the version inside the window
+            apply_batch(
+                other,
+                table._held_log.where(F.col("epoch") == 2).drop("epoch"),
+                epoch=2,
+            )
+        return real_commit(table, meta)
+
+    table._commit_meta = racy_commit
+    far = dt.datetime(2025, 3, 1)
+    newly = close_due_partitions(table, now=far, source=None)
+    table._commit_meta = real_commit
+
+    assert fired["n"] == 1
+    assert newly, "days should have closed despite the lost race"
+    # the close marks really landed in the LATEST metadata (not a stale
+    # overwrite of the competing apply's commit)
+    other.refresh()
+    assert set(closed_partitions(other)) >= {m["day"] for m in newly}
+    assert other.committed_epoch("cdc") >= 2 or other._meta["committed_epochs"]
+
+
+def test_close_yields_to_racing_closer(spark, table):
+    """Exactly-once per day: when the competing commit is another CLOSER
+    that closed the same day first, the retry drops the day instead of
+    overwriting the first closer's mark."""
+    from etl_spark.lake.table import LakeTable
+
+    other = LakeTable(spark, table.path)
+    far = dt.datetime(2025, 3, 1)
+    real_commit = type(table)._commit_meta
+    fired = {"n": 0}
+
+    def racy_commit(meta):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            close_due_partitions(other, now=far, source=None)
+        return real_commit(table, meta)
+
+    table._commit_meta = racy_commit
+    newly = close_due_partitions(table, now=far, source=None)
+    table._commit_meta = real_commit
+
+    assert fired["n"] == 1
+    # every day was already closed by the racer — our retry found nothing
+    # left to commit and returned the empty rebased set
+    assert newly == []
+    assert closed_partitions(table)
