@@ -60,14 +60,20 @@ def parse_debezium(
     payload_schema: T.StructType,
     value_col: str = "value",
     keep_corrupt: bool = False,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
     """Parse envelope JSON strings in ``df[value_col]`` into CHANGE_SCHEMA
     rows: ``(op, <payload columns...>, op_ts, lsn)``.
 
     With ``keep_corrupt=True`` a ``_corrupt`` boolean column marks rows
-    whose JSON failed to parse or whose op was unrecognized (their payload
-    columns are NULL); default drops them after counting is the caller's
-    gate's job. Works identically on batch and streaming frames.
+    whose JSON failed to parse, whose op was unrecognized, or whose row
+    image is unusable — any ``key_cols`` column NULL (e.g. an ``u`` event
+    with ``after=null``, or a ``d`` from a REPLICA IDENTITY NOTHING
+    upstream with ``before=null``: structurally valid envelopes that
+    would otherwise collapse into one bogus NULL-key group in the LWW
+    dedup). Default drops them; counting is the caller's gate's job.
+    Works identically on batch and streaming frames. ``key_cols`` names
+    not present in ``payload_schema`` are ignored.
     """
     env = F.from_json(F.col(value_col), envelope_schema(payload_schema))
     p = env["payload"]
@@ -89,6 +95,10 @@ def parse_debezium(
         "lsn",
     )
     corrupt = F.col("op").isNull() | F.col("op_ts").isNull() | F.col("lsn").isNull()
+    names = {f.name for f in payload_schema.fields}
+    for k in key_cols:
+        if k in names:
+            corrupt = corrupt | F.col(k).isNull()
     if keep_corrupt:
         return out.withColumn("_corrupt", corrupt)
     return out.where(~corrupt)

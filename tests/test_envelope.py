@@ -115,3 +115,31 @@ def test_streaming_debezium_tail(spark, tmp_path):
     got = {(r.conv_id, r.turn_idx): r.text for r in eng.table.snapshot_df().collect()}
     want_rows = {(r.conv_id, r.turn_idx): r.text for r in exp.collect()}
     assert got == want_rows
+
+
+def test_missing_image_rows_flagged_corrupt(spark):
+    """A structurally valid envelope whose row image is missing (u with
+    after=null, or d with before=null — REPLICA IDENTITY NOTHING
+    upstream) parses to NULL key columns; it must be flagged corrupt, not
+    passed through to collapse into one bogus NULL-key LWW group."""
+    lines = [
+        ENV % ("null", ROW % (0, "ok"), "c", 1000, 1),
+        ENV % ("null", "null", "u", 2000, 2),   # update, image lost
+        ENV % ("null", "null", "d", 3000, 3),   # delete, no before-image
+        # partial image: turn_idx present but conv_id null
+        ENV % ("null",
+               '{"conv_id": null, "turn_idx": 4, "role": "user",'
+               ' "text": "halfkey", "ts": "2025-01-01T00:00:00Z"}',
+               "u", 4000, 4),
+    ]
+    flagged = parse_debezium(_wire(spark, lines), TRANSCRIPT_SCHEMA, keep_corrupt=True)
+    assert flagged.count() == 4
+    assert flagged.where("_corrupt").count() == 3
+    clean = parse_debezium(_wire(spark, lines), TRANSCRIPT_SCHEMA)
+    assert [r.text for r in clean.collect()] == ["ok"]
+    # key_cols names absent from the payload schema are ignored
+    loose = parse_debezium(
+        _wire(spark, lines), TRANSCRIPT_SCHEMA,
+        keep_corrupt=True, key_cols=("not_a_column",),
+    )
+    assert loose.where("_corrupt").count() == 0
