@@ -651,7 +651,10 @@ class LakeTable:
                  for b in s["dirty_buckets"]}
             )
             if not buckets:
-                empty = self._empty(with_ordering).select(
+                # build from the AS-OF table, not self: a rename/drop
+                # committed after to_version would otherwise leave the
+                # live-schema frame without the as-of names selected below
+                empty = new._empty(with_ordering).select(
                     *new.schema().names(),
                     F.lit("").alias("_change_type"),
                     *([F.col("_op_ts"), F.col("_lsn")] if with_ordering else []),

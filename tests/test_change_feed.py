@@ -121,3 +121,26 @@ def test_empty_window(spark, tmp_path):
     df = t.changes_between(v, v)
     assert df.count() == 0
     assert "_change_type" in df.columns
+
+
+def test_empty_window_after_later_rename(spark, tmp_path):
+    """The empty-feed shortcut must build its frame from the AS-OF schema:
+    a rename committed after to_version used to crash the shortcut with
+    UNRESOLVED_COLUMN (live frame, as-of names). The empty feed also
+    reports the as-of window's column names, consistent with the
+    non-empty path."""
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=2)
+    t = eng.table
+    apply_batch(t, _batch(spark, [
+        ("I", "a", 0, "user", "x", None, T("2025-01-01 00:00:00"),
+         T("2025-01-01 00:00:01"), 1)]), epoch=0)
+    v1 = t.version
+    # a logically-silent commit inside the window (no delta buckets)
+    t.compact(buckets=list(range(t.num_buckets)))
+    v2 = t.version
+    t.rename_column("text", "content")  # after the window
+
+    df = t.changes_between(v1, to_version=v2, with_ordering=True)
+    assert df.count() == 0
+    assert "text" in df.columns and "content" not in df.columns
+    assert {"_change_type", "_op_ts", "_lsn"} <= set(df.columns)
