@@ -55,6 +55,14 @@ def delete_conversations(
     table.refresh()
     if request_id <= table.committed_epoch(source):
         return None
+    if not conv_ids:
+        # complete by vacuity — but the request_id must still be FENCED
+        # (a zero-file delta commit), or an orchestrator whose batch
+        # filtered down to nothing retries the "failed" request forever
+        return table.commit_delta(
+            request_id, source, table.new_data_rel("delta"), [],
+            stats={"kind": "gdpr_delete", "conv_ids": 0},
+        )
     spark = table.spark
     ids = spark.createDataFrame([(c,) for c in conv_ids], ["conv_id"])
     buckets = sorted(

@@ -188,3 +188,20 @@ def test_bootstrap_snapshot_handoff(spark, tmp_path):
     a, b = boot.table.snapshot_df(), plain.table.snapshot_df()
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_delete_empty_id_list_fences_request(spark, loaded):
+    """An erasure request whose id batch filtered down to nothing must
+    no-op AND fence the request_id (zero-file delta commit) — otherwise
+    the orchestrator retries the 'failed' request forever."""
+    eng = loaded
+    n = eng.table.snapshot_df().count()
+    sid = delete_conversations(eng.table, [], request_id=9)
+    assert sid is not None
+    assert eng.table.snapshot_df().count() == n
+    # fenced: the replay is a no-op
+    assert delete_conversations(eng.table, [], request_id=9) is None
+    # and a LATER real request still works on the same source sequence
+    victim = eng.table.snapshot_df().select("conv_id").first().conv_id
+    assert delete_conversations(eng.table, [victim], request_id=10) is not None
+    assert eng.table.snapshot_df().where(F.col("conv_id") == victim).count() == 0
