@@ -217,8 +217,12 @@ class InMemoryMetadataStore(MetadataStore):
 
 
 def _atomic_write_text(path: str, text: str) -> None:
-    """Atomic single-file text write (tmp + fsync + rename)."""
-    tmp = path + f".tmp.{os.getpid()}"
+    """Atomic single-file text write (tmp + fsync + rename). The tmp name
+    is unique per ATTEMPT, not per process: racing threads of one driver
+    (e.g. a restarted stream query racing its predecessor's teardown)
+    sharing a pid-only tmp path could rename each other's partial
+    writes — same hazard publish_version and write_hint already guard."""
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(text)
         f.flush()

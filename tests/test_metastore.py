@@ -59,3 +59,32 @@ def test_laketable_on_fake_store(spark, tmp_path):
     assert t1.snapshot_df().count() == 1
     t2.refresh()
     assert t2.snapshot_df().count() == 1
+
+
+def test_atomic_write_text_thread_safe(tmp_path):
+    """Racing threads of ONE process writing the same marker must never
+    tear or crash: the tmp name is unique per attempt (pid alone would
+    collide, letting one thread rename another's partial write)."""
+    import threading
+
+    from etl_spark.lake.metastore import _atomic_write_text
+
+    target = str(tmp_path / "marker.text")
+    payloads = [f"value-{i:04d}" * 64 for i in range(16)]
+    errs: list[Exception] = []
+
+    def write(p):
+        try:
+            for _ in range(20):
+                _atomic_write_text(target, p)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=write, args=(p,)) for p in payloads]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    with open(target) as f:
+        assert f.read() in payloads  # one complete write, never torn
