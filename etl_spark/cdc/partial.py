@@ -88,10 +88,13 @@ def materialize_partial(table: LakeTable, changes: DataFrame) -> DataFrame:
     folded = fold_partial_batch(changes, key, payload_cols)
 
     # current state of only the touched buckets (bounded driver collect:
-    # at most num_buckets ids)
+    # at most num_buckets ids). Derived from the RAW batch, not `folded`:
+    # the fold's groupBy preserves the key set, and collecting from folded
+    # would execute the whole fold aggregation twice (once here, once in
+    # the real write job) — this scan is a narrow one-column distinct.
     touched = [
         int(r["b"])
-        for r in folded.select(
+        for r in changes.select(
             table.bucket_expr(F.col(table.bucket_key)).alias("b")
         ).distinct().collect()
     ]
