@@ -239,6 +239,9 @@ class HttpMetadataStore(MetadataStore):
     #: lost hint can trail by a few commits — keep probing through this
     #: many consecutive missing slots before declaring the end.
     _PROBE_GAP = 8
+    #: downward-probe budget below the hint (no-LIST backends): how many
+    #: consecutive missing slots before declaring the vacuumed region.
+    _PROBE_GAP_DOWN = 64
 
     def list_versions(self) -> list[int]:
         listed: list[int] | None = None
@@ -278,12 +281,21 @@ class HttpMetadataStore(MetadataStore):
                     misses += 1
                 v += 1
             return sorted(out)
-        # no LIST endpoint: hint + probe. Every slot up to the hint is
-        # probed individually (vacuum leaves low-end gaps); above it,
-        # probe forward tolerating up to _PROBE_GAP consecutive misses
-        # (covers a lost/stale hint trailing a few commits).
-        start = self.read_hint() or 0
-        out_l = [v for v in range(0, start + 1) if self.version_exists(v)]
+        # no LIST endpoint: hint + probe, O(retained versions) not
+        # O(current version). Above the hint, probe forward tolerating up
+        # to _PROBE_GAP consecutive misses (covers a lost/stale hint
+        # trailing a few commits). BELOW the hint, probe downward and stop
+        # after _PROBE_GAP_DOWN consecutive misses: vacuum deletes the old
+        # tail contiguously (and raises on a failed delete), so the region
+        # below the lowest survivor is one solid gap — probing every slot
+        # from 0 would cost a long-lived table ~version-count HEADs per
+        # maintenance run. A survivor stranded more than _PROBE_GAP_DOWN
+        # below the next one up is invisible to this backend (document
+        # over pay: such a hole needs repeated silent delete failures,
+        # which delete_version turns into loud errors instead).
+        hint = self.read_hint()
+        start = hint or 0
+        out_l = []
         v, misses = start + 1, 0
         while misses <= self._PROBE_GAP:
             if self.version_exists(v):
@@ -292,7 +304,21 @@ class HttpMetadataStore(MetadataStore):
             else:
                 misses += 1
             v += 1
-        return out_l
+        if hint is None:
+            # no hint was ever written (young table / hint object lost):
+            # nothing to anchor a bounded downward probe — scan from 0
+            out_l = [u for u in range(0, start + 1) if self.version_exists(u)] + out_l
+            return out_l
+        down = []
+        v, misses = start, 0
+        while v >= 0 and misses <= self._PROBE_GAP_DOWN:
+            if self.version_exists(v):
+                down.append(v)
+                misses = 0
+            else:
+                misses += 1
+            v -= 1
+        return sorted(down) + out_l
 
     def version_exists(self, version: int) -> bool:
         # HEAD, not the base class's full-payload GET: the probe paths

@@ -295,3 +295,42 @@ def test_cdc_engine_replay_on_http_store(spark, tmp_path, server):
     assert eng2.table.snapshot_df().count() > 0
     # replaying again is fully fenced
     assert eng2.replay(log) == []
+
+
+def test_no_list_probe_is_bounded_by_retained_not_version(server):
+    """A long-lived table (version ~5000, old tail vacuumed) on a no-LIST
+    backend: list_versions must probe O(retained + gap) slots, not issue
+    one HEAD per historical version — vacuum on such a store used to cost
+    ~current-version HEAD requests per maintenance run."""
+    store = _fresh_store(server)
+    for v in (4998, 4999, 5000):  # the retained tail of a vacuumed table
+        store.publish_version(v, f"v{v}")
+    store.write_hint(5000)
+
+    heads = {"n": 0}
+
+    class CountingNoListStore(HttpMetadataStore):
+        def _request(self, method, url, body=None, headers=None):
+            if url.endswith("/?list"):
+                return 405, b""
+            if method == "HEAD":
+                heads["n"] += 1
+            return super()._request(method, url, body, headers)
+
+    nl = CountingNoListStore(store.base_url)
+    assert nl.list_versions() == [4998, 4999, 5000]
+    budget = nl._PROBE_GAP_DOWN + nl._PROBE_GAP + 3 + 8
+    assert heads["n"] <= budget, f"{heads['n']} HEADs for a 3-version table"
+
+    # a young table with no hint object still enumerates from zero
+    store2 = _fresh_store(server)
+    for v in (0, 2, 5):
+        store2.publish_version(v, f"v{v}")
+
+    class NoListStore2(HttpMetadataStore):
+        def _request(self, method, url, body=None, headers=None):
+            if url.endswith("/?list"):
+                return 405, b""
+            return super()._request(method, url, body, headers)
+
+    assert NoListStore2(store2.base_url).list_versions() == [0, 2, 5]
