@@ -66,6 +66,29 @@ def _as_changes(df: DataFrame, op_ts_col: str, lsn_col: str) -> DataFrame:
     return out
 
 
+def _empty_changes(spark: SparkSession, table: LakeTable) -> DataFrame:
+    """Zero-row CHANGE_SCHEMA-shaped frame in the table's own schema —
+    lets an empty source answer flow through apply_batch and fence its
+    epoch exactly like a data-carrying one."""
+    from pyspark.sql import types as T
+
+    st = T.StructType(
+        [T.StructField("op", T.StringType())]
+        + list(table.schema().to_struct().fields)
+        + [
+            T.StructField("op_ts", T.TimestampType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    # over range(0), NOT createDataFrame([], st): an empty LocalTableScan
+    # plans zero tasks, so apply_batch's Observation never fires and
+    # Observation.get dies on the metric-less result; a zero-row Range
+    # still runs a task and the observed aggregates produce their row
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+    )
+
+
 def ingest_records(
     spark: SparkSession,
     table: LakeTable,
@@ -79,7 +102,13 @@ def ingest_records(
 
     Records become INSERT changes and run through the standard apply —
     re-running a crashed ingest with the same (source, epoch) is a no-op.
+    An EMPTY batch (a routine source answer, e.g. no currency updates
+    this hour) still commits, fencing the epoch — createDataFrame cannot
+    infer a schema from zero records, so the empty change frame is built
+    from the table's schema instead.
     """
+    if not records:
+        return apply_batch(table, _empty_changes(spark, table), epoch, source=source)
     df = spark.createDataFrame(records)
     return apply_batch(table, _as_changes(df, op_ts_col, lsn_col), epoch, source=source)
 
@@ -94,7 +123,10 @@ def ingest_pandas(
     lsn_col: str = "lsn",
 ) -> ApplyStats:
     """Append a pandas frame (report files parsed driver-side) via Arrow,
-    through the same exactly-once apply path."""
+    through the same exactly-once apply path. An empty frame fences the
+    epoch like ``ingest_records``."""
+    if len(pdf) == 0:
+        return apply_batch(table, _empty_changes(spark, table), epoch, source=source)
     df = spark.createDataFrame(pdf)
     return apply_batch(table, _as_changes(df, op_ts_col, lsn_col), epoch, source=source)
 
@@ -125,8 +157,6 @@ def bootstrap_snapshot(
     Exactly-once per (source, epoch=0): re-running a crashed bootstrap
     is fenced. O(snapshot) — one pass through the ordinary apply.
     """
-    from pyspark.sql import functions as F
-
     changes = snapshot.select(
         "*",
         F.lit("I").alias("op"),

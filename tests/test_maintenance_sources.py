@@ -205,3 +205,22 @@ def test_delete_empty_id_list_fences_request(spark, loaded):
     victim = eng.table.snapshot_df().select("conv_id").first().conv_id
     assert delete_conversations(eng.table, [victim], request_id=10) is not None
     assert eng.table.snapshot_df().where(F.col("conv_id") == victim).count() == 0
+
+
+def test_ingest_empty_batch_fences_epoch(spark, tmp_path):
+    """A source legitimately returning zero records (no currency updates
+    this hour) must still commit — fencing the epoch so the drive loop
+    advances — not crash schema inference on an empty frame."""
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    st = ingest_records(spark, eng.table, [], epoch=0, source="rest")
+    assert not st.skipped and st.winners == 0
+    assert ingest_records(spark, eng.table, [], epoch=0, source="rest").skipped
+    # a later non-empty epoch on the same source proceeds normally
+    recs = [{"conv_id": "api_1", "turn_idx": 0, "role": "user", "text": "t",
+             "tool": "tool_01", "ts": T("2025-02-01 00:00:00"),
+             "op_ts": T("2025-02-01 00:00:01"), "lsn": 1}]
+    assert ingest_records(spark, eng.table, recs, epoch=1, source="rest").winners == 1
+    # and the pandas path fences an empty frame the same way
+    st = ingest_pandas(spark, eng.table, pd.DataFrame(), epoch=0, source="report")
+    assert not st.skipped and st.winners == 0
+    assert eng.table.snapshot_df().count() == 1
