@@ -80,6 +80,9 @@ def decode_stub(payload: bytes, mime: str) -> dict[str, Any]:
     if mime == "video/mp4":
         d = decode_mp4_meta(payload)
         return {"width": d["width"], "height": d["height"]}
+    if mime == "audio/wav":
+        decode_wav(payload)  # real parse (validates RIFF/PCM structure)
+        return {"width": None, "height": None}  # dimensions n/a for audio
     raise NotImplementedError(f"no codec for mime={mime!r} in this environment")
 
 
@@ -1778,8 +1781,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
                     "n_bytes": payloads.str.len().astype("int64"),
-                    "width": pd.Series([d["width"] for d in dims], dtype="int32"),
-                    "height": pd.Series([d["height"] for d in dims], dtype="int32"),
+                    # nullable Int32: audio rows have no dimensions
+                    "width": pd.Series([d["width"] for d in dims], dtype="Int32"),
+                    "height": pd.Series([d["height"] for d in dims], dtype="Int32"),
                     "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
                 }
             )

@@ -1062,3 +1062,77 @@ def test_g711_tables_canonical():
     # spec spot values: silence encodes to 0xD5 (A-law) / 0xFF (µ-law)
     zero = np.zeros(1, dtype=np.int16)
     assert _alaw_encode(zero)[0] == 0xD5 and _mulaw_encode(zero)[0] == 0xFF
+
+
+def test_extract_features_handles_wav_rows(spark):
+    """decode_stub routes audio/wav through the real RIFF parser in the
+    generic feature path (it used to fall through to NotImplementedError,
+    killing the whole stage for any corpus containing audio)."""
+    import numpy as np
+
+    from etl_spark.operators.multimodal import encode_wav
+
+    wav = encode_wav((np.sin(np.arange(1600) / 10) * 3000).astype(np.int16))
+    media = spark.createDataFrame(
+        [(0, "audio/wav", bytearray(wav)), (1, "fake/raw", bytearray(b"xyz"))],
+        ["media_id", "mime", "payload"],
+    )
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[0].width is None and rows[0].height is None
+    assert rows[0].n_bytes == len(wav)
+    assert rows[1].width is not None  # the fake path still decodes
+
+
+def test_quantile_profile_null_tolerant(spark):
+    """The rank base must count only non-NULL values: percentile_approx
+    and the rank sums all skip NULLs, so a NULL-inclusive count misflags
+    correct sketches on NULL-heavy groups (and can mask bad ones)."""
+    from etl_spark.operators.sketches import quantile_profile
+
+    rows = [("g", float(i)) for i in range(500)] + [("g", None)] * 500
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = quantile_profile(df, "k", "v").first()
+    assert r.p50_ok and r.p95_ok
+    assert abs(r.p50_exact - 249.5) < 1e-6
+
+
+def test_cosine_topk_numpy_string_ids_and_empty_queries(spark):
+    """The NumPy top-k must follow the input id types (string doc ids are
+    the operators/ convention) and return an empty frame for an empty
+    query set instead of crashing on a 0-d matrix."""
+    from etl_spark.operators.similarity import cosine_topk_numpy
+
+    vecs = spark.createDataFrame(
+        [(f"d{i}", [float(i == j) for j in range(4)]) for i in range(4)],
+        ["vec_id", "embedding"],
+    )
+    qs = spark.createDataFrame(
+        [("q0", [1.0, 0.0, 0.0, 0.1])], ["query_id", "qv"]
+    )
+    rows = cosine_topk_numpy(vecs, qs, k=2).collect()
+    assert rows and rows[0].query_id == "q0" and rows[0].neighbor_id == "d0"
+    empty = cosine_topk_numpy(vecs, qs.limit(0), k=2)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "cos_r", "rk"]
+
+
+def test_bucket_pairs_null_keys_dropped(spark):
+    """NULL bucket keys cannot name a real LSH bucket (SQL NULL != NULL)
+    and, uncapped, a degenerate NULL bucket bypasses the hot anti-join —
+    they must be dropped before any per-bucket list materializes."""
+    from etl_spark.operators import bucket_pairs
+
+    rows = [(i, None) for i in range(50)] + [(100, "b"), (101, "b")]
+    df = spark.createDataFrame(rows, ["id", "bucket"])
+    got = bucket_pairs(df, ["bucket"], "id", max_bucket=10).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(100, 101)]
+
+
+def test_lsh_band_params_must_divide(spark):
+    """num_hashes not divisible by num_bands silently shifted the LSH
+    operating point; it must raise instead."""
+    from etl_spark.operators.textdedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_lsh_pairs(df, num_hashes=18, num_bands=4).collect()
