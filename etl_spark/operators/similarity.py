@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-HEX = "0123456789abcdef"
+from .textdedup import HEX
 
 
 def dot(a, b) -> "F.Column":
@@ -277,18 +277,33 @@ def cosine_topk_numpy(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows])
-    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-
+    # id types follow the INPUT frames (string doc ids are the convention
+    # elsewhere in operators/) — hardcoding LongType would corrupt or
+    # reject non-long ids at the Arrow boundary
+    qid_type = queries.schema[query_id_col].dataType
+    nid_type = vectors.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField(query_id_col, T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField(query_id_col, qid_type),
+            T.StructField("neighbor_id", nid_type),
             T.StructField("cos", T.DoubleType()),
         ]
     )
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        # zero queries: a valid, empty result (np.linalg.norm on the 0-d
+        # stack would raise an axis error before any task ran)
+        return (
+            vectors.sparkSession.createDataFrame([], out_schema)
+            .select(query_id_col, "neighbor_id",
+                    F.lit(None).cast("double").alias("cos_r"),
+                    F.lit(None).cast("int").alias("rk"))
+            .limit(0)
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
     def _score(batches):
         for pdf in batches:

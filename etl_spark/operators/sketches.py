@@ -64,7 +64,10 @@ def quantile_profile(
     j = df.join(F.broadcast(g.select(key, "_a")), key)
     v = F.col(value)
     ranks = j.groupBy(key).agg(
-        F.count(F.lit(1)).alias("_n"),
+        # count(value), not count(*): percentile/percentile_approx and the
+        # rank sums all skip NULLs — a NULL-inclusive rank base would
+        # misflag perfectly correct sketches on NULL-carrying groups
+        F.count(v).alias("_n"),
         *[agg.alias(name) for name, agg in {
             "_lo50": F.sum((v < F.col("_a")[0]).cast("long")),
             "_hi50": F.sum((v <= F.col("_a")[0]).cast("long")),

@@ -57,7 +57,14 @@ def asof_join(
     pcols = [c for c in probe.columns if c not in key and c != probe_ts]
     if not bcols:
         raise ValueError("build side needs at least one payload column")
-    overlap = set(bcols) & set(pcols) | {build_ts} & set(pcols)
+    # three collision surfaces: build payload vs probe payload, the build
+    # ts name landing among probe payloads, and a build payload named
+    # like the probe ts (the output emits probe_ts AND every bcol)
+    overlap = (
+        set(bcols) & set(pcols)
+        | {build_ts} & set(pcols)
+        | {probe_ts} & set(bcols)
+    )
     if overlap:
         raise ValueError(f"ambiguous output columns: {sorted(overlap)}")
 

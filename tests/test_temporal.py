@@ -59,6 +59,11 @@ def test_asof_rejects_ambiguous_columns(spark, frames):
     bad = build.withColumnRenamed("bid", "eid")
     with pytest.raises(ValueError):
         asof_join(probe, bad, ["k"], "ts", "bts")
+    # a build PAYLOAD column named like the probe's ts column would emit
+    # two identically-named output columns (probe_ts + the bcol)
+    bad_ts = build.withColumnRenamed("bid", "ts")
+    with pytest.raises(ValueError, match="ambiguous"):
+        asof_join(probe, bad_ts, ["k"], "ts", "bts")
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
