@@ -58,8 +58,15 @@ def bucket_pairs(
     failing; blocks age out via Spark's LRU. Measured at sf0.1:
     embedding near-dup 7.3 s → 6.1-7.0 s; parity on minhash (warm).
     """
-    df = df.persist()  # default MEMORY_AND_DISK(_DESER) in Spark 3+
     keys = [F.col(c) for c in key_cols]
+    # NULL bucket keys never match anything (SQL NULL != NULL) so they
+    # cannot name a real LSH bucket — and, uncapped, a degenerate NULL
+    # bucket would sail through the hot anti-join (NULL never equals a
+    # key in `hot`) and materialize its whole id list in one aggregation
+    # buffer before the size filter could drop it. Drop them up front.
+    for k in keys:
+        df = df.where(k.isNotNull())
+    df = df.persist()  # default MEMORY_AND_DISK(_DESER) in Spark 3+
     hot = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -70,10 +77,9 @@ def bucket_pairs(
     grouped = (
         cold.groupBy(*keys)
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-        # lower bound: singleton buckets yield no pairs; upper bound
-        # re-asserts the cap for NULL-keyed rows, which never equal a key
-        # in `hot` and so sail through the anti-join regardless of size
-        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+        # singleton buckets yield no pairs (NULL keys were dropped at the
+        # top, so the hot anti-join's cap is airtight here)
+        .where(F.size("_ids") >= 2)
     )
     pairs = grouped.select(
         F.explode(

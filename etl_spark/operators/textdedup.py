@@ -208,6 +208,13 @@ def _banded_verify_pairs(
     """
     from . import bucket_pairs
 
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} is not divisible by num_bands="
+            f"{num_bands} — silently truncating to {num_hashes // num_bands}"
+            f" rows/band would shift the LSH s-curve threshold"
+            f" (1/b)^(1/r) away from the requested operating point"
+        )
     rows_per_band = num_hashes // num_bands
     banded = base.select(
         "_id",
@@ -231,22 +238,34 @@ def _banded_verify_pairs(
 def simhash_bits(col, num_bits: int = 16) -> "F.Column":
     """SimHash as a bit string: per bit j, sum ±1 votes over the document's
     distinct tokens (vote = high bit of the j-th hex digit of md5(token));
-    bit j is 1 when the vote sum is positive."""
-    toks = F.array_distinct(tokens(col))
-    bits = []
-    for j in range(num_bits):
-        # vote per token: +1 if the j-th hex digit of md5(token) has its
-        # high bit set (digit value >= 8), else -1; aggregate over tokens
-        votes = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.instr(F.lit(HEX), F.substring(F.md5(t), j + 1, 1)) - 1 >= 8, 1
-            ).otherwise(-1),
-        )
-        bits.append(F.when(votes > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    bit j is 1 when the vote sum is positive.
+
+    Plan shape: ONE md5 per token, one aggregate pass. The naive form —
+    one full ``aggregate`` per output bit — re-hashes every token
+    num_bits times (the same expression-duplication blowup ``lsh_bands``
+    documents); here the digests materialize once via ``transform``, the
+    per-bit votes ride a single ``zip_with`` fold, and the bit string is
+    derived from the vote array through exactly one reference (a second
+    reference would re-run the whole fold)."""
+    digests = F.transform(F.array_distinct(tokens(col)), lambda t: F.md5(t))
+    votes = F.aggregate(
+        digests,
+        F.array(*[F.lit(0)] * num_bits),
+        lambda acc, d: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(
+                    F.instr(F.lit(HEX), F.substring(d, j + 1, 1)) - 1 >= 8, 1
+                ).otherwise(-1)
+                for j in range(num_bits)
+            ]),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
 
 
 def simhash_groups(
