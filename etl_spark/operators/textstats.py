@@ -29,8 +29,9 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
-def _tokens(col) -> "F.Column":
-    return F.split(F.trim(F.lower(col)), r"\s+")
+# one tokenizer for the whole package: the dedup and scoring passes must
+# never silently diverge on the same corpus
+from .textdedup import tokens as _tokens
 
 
 def lang_scores(col) -> list[tuple[str, "F.Column"]]:

@@ -40,6 +40,15 @@ CONV_PROGRESS_SCHEMA = T.StructType(
 )
 
 
+def _read_change_stream(spark, change_log_dir, schema, max_files_per_trigger):
+    """One reader construction for every streaming entry point — the
+    three surfaces must not drift apart on reader options."""
+    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(change_log_dir)
+
+
 def windowed_activity(
     spark: SparkSession,
     change_log_dir: str,
@@ -55,10 +64,7 @@ def windowed_activity(
     dropped from state — at 10^10 events, unbounded window state is the
     difference between a stream that runs for months and one that OOMs.
     """
-    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(change_log_dir)
+    stream = _read_change_stream(spark, change_log_dir, schema, max_files_per_trigger)
     return (
         stream.withWatermark("op_ts", watermark_delay)  # bounds agg state
         .groupBy(F.window("op_ts", window_size).alias("w"))
@@ -98,10 +104,7 @@ def streaming_sessions(
     is handled by Spark's session-window state merge, which a
     hand-rolled LAG over a stream cannot do.
     """
-    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(change_log_dir)
+    stream = _read_change_stream(spark, change_log_dir, schema, max_files_per_trigger)
     return (
         stream.where(F.col("op") != "D")
         .withWatermark("op_ts", watermark_delay)
@@ -162,10 +165,7 @@ def conversation_progress(
              "max_turn_idx": [mx], "last_op_ts": [last]}
         )
 
-    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(change_log_dir)
+    stream = _read_change_stream(spark, change_log_dir, schema, max_files_per_trigger)
     return (
         stream.select("conv_id", "turn_idx", "op_ts")
         .groupBy("conv_id")
