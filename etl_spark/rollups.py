@@ -33,19 +33,35 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cdc.partitions import _leaves_for_day, closed_partitions
+from .cdc.partitions import _day_of, closed_partitions
 from .lake.table import LakeTable, _atomic_write_text
 
 STATE_FILE = "_rollup_state.json"
 
 
-def _measures(df: DataFrame) -> list:
+def _measures() -> list:
+    # every sum coalesces to 0: a window/day whose rows were all deleted
+    # is a well-defined "zero activity" period, not a NULL-poisoned one
     return [
         F.count(F.lit(1)).alias("n_turns"),
         F.countDistinct("conv_id").alias("active_convs"),
-        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("tool_calls"),
+        F.coalesce(
+            F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("tool_calls"),
         F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("total_chars"),
     ]
+
+
+def _delta_leaves_for_day(table: LakeTable, day: str) -> list[str]:
+    """DELTA leaves only — new data arrives exclusively as deltas;
+    compaction-rewritten bases are the same rows and must not look like
+    change (mirrors cdc.partitions.restatements)."""
+    out = []
+    for slot in table._meta["files"].values():
+        for e in slot["deltas"]:
+            if _day_of(e["path"]) == day:
+                out.append(e["path"])
+    return out
 
 
 def _week_start(day: dt.date) -> dt.date:
@@ -80,11 +96,23 @@ def _write_grain(
 
 
 def _window_agg(src: LakeTable, lo: dt.date, hi_exclusive: dt.date,
-                part_col: str, part_value: str) -> DataFrame:
-    """Aggregate one [lo, hi) window of the source via the pruned read."""
+                part_col: str, part_value: str,
+                closed_days: set[str]) -> DataFrame:
+    """Aggregate one [lo, hi) window of the source via the pruned read,
+    restricted to CLOSED days — the module contract. Without the filter
+    a week containing a still-open day would publish a value that
+    includes half-ingested rows and changes with every refresh; the
+    open day's close re-derives the period with its rows included."""
     end = dt.datetime.combine(hi_exclusive, dt.time()) - dt.timedelta(microseconds=1)
     state = src.snapshot_df(ts_min=dt.datetime.combine(lo, dt.time()), ts_max=end)
-    return state.agg(*_measures(state)).select(
+    in_window = sorted(
+        d for d in closed_days
+        if lo <= dt.date.fromisoformat(d) < hi_exclusive
+    )
+    state = state.where(
+        F.to_date(F.col(src.stats_col)).cast("string").isin(in_window)
+    )
+    return state.agg(*_measures()).select(
         F.lit(part_value).alias(part_col), "*"
     )
 
@@ -109,12 +137,21 @@ def refresh_rollups(src: LakeTable, dst_root: str) -> dict:
     state = _load_state(dst_root)
     closed = closed_partitions(src)
 
+    # Change detection over DELTA leaves only, accumulated monotonically:
+    # new data arrives exclusively as delta files, so a day re-derives
+    # iff it carries a delta leaf never seen before. Base leaves are
+    # excluded (cdc.partitions.restatements does the same): compaction
+    # rewrites bases without changing logical state and must not force an
+    # O(all-history) re-aggregation; it also REMOVES folded delta leaves
+    # from live metadata, which is why the state keeps the union of every
+    # leaf ever seen instead of comparing live sets.
     need: list[str] = []
     leaves_now: dict[str, list[str]] = {}
     for day in sorted(closed):
-        leaves = sorted(_leaves_for_day(src, day))
-        leaves_now[day] = leaves
-        if state.get(day) != leaves:
+        deltas = sorted(_delta_leaves_for_day(src, day))
+        seen = set(state.get(day, []))
+        leaves_now[day] = sorted(seen | set(deltas))
+        if day not in state or any(l not in seen for l in deltas):
             need.append(day)
     restated = [d for d in need if d in state]
     if not need:
@@ -132,19 +169,33 @@ def refresh_rollups(src: LakeTable, dst_root: str) -> dict:
         span.withColumn("day_", F.to_date(F.col(src.stats_col)).cast("string"))
         .where(F.col("day_").isin(need))
         .groupBy("day_")
-        .agg(*_measures(span))
+        .agg(*_measures())
+    )
+    # every needed day MUST emit a row: dynamic partition overwrite only
+    # replaces partitions present in the output, so a recomputed day whose
+    # snapshot went to zero rows (e.g. a GDPR erasure tombstoned all of
+    # it) would otherwise keep publishing its stale pre-erasure rollup
+    day_spine = spark.createDataFrame([(d,) for d in need], ["day_"])
+    daily = day_spine.join(daily, "day_", "left").select(
+        "day_",
+        F.coalesce("n_turns", F.lit(0)).alias("n_turns"),
+        F.coalesce("active_convs", F.lit(0)).alias("active_convs"),
+        F.coalesce("tool_calls", F.lit(0)).alias("tool_calls"),
+        F.coalesce("total_chars", F.lit(0)).alias("total_chars"),
     )
     _write_grain(daily, os.path.join(dst_root, "daily"), "day_")
 
     # -- weekly / monthly: recompute each affected period from source
+    closed_set = set(closed)
     weeks = sorted({_week_start(d) for d in days_d})
     for w in weeks:
-        wdf = _window_agg(src, w, w + dt.timedelta(days=7), "week_start", str(w))
+        wdf = _window_agg(src, w, w + dt.timedelta(days=7), "week_start",
+                          str(w), closed_set)
         _write_grain(wdf, os.path.join(dst_root, "weekly"), "week_start")
     months = sorted({_month_start(d) for d in days_d})
     for m in months:
         nxt = (m.replace(day=28) + dt.timedelta(days=4)).replace(day=1)
-        mdf = _window_agg(src, m, nxt, "month_", str(m)[:7])
+        mdf = _window_agg(src, m, nxt, "month_", str(m)[:7], closed_set)
         _write_grain(mdf, os.path.join(dst_root, "monthly"), "month_")
 
     # state last: a crash above simply redoes these days next run

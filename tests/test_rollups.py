@@ -101,3 +101,77 @@ def test_restatement_recomputes_only_changed_days(spark, setup):
     again = refresh_rollups(table, dst)
     assert again == {"days": [], "weeks": [], "months": [], "restated": []}
     log.unpersist()
+
+
+def test_erased_day_republishes_zero_row(spark, setup):
+    """A recomputed day whose snapshot went to zero rows must OVERWRITE
+    its daily partition with an explicit zero row — dynamic partition
+    overwrite only replaces partitions present in the output, so the
+    groupBy's no-row-for-empty-day behavior used to leave the stale
+    pre-erasure rollup published forever (defeating GDPR downstream)."""
+    from etl_spark.cdc.maintenance import delete_where
+
+    table, log, dst = setup
+    first = refresh_rollups(table, dst)
+    victim_day = first["days"][0]
+    create_rollup_views(spark, dst)
+    before = spark.table("rollup_daily").toPandas()
+    before["day_"] = before["day_"].astype(str)
+    assert int(before[before.day_ == victim_day].n_turns.iloc[0]) > 0
+
+    nxt = str(dt.date.fromisoformat(victim_day) + dt.timedelta(days=1))
+    delete_where(table, f"ts < timestamp'{nxt} 00:00:00'", request_id=1)
+    table.refresh()
+    res = refresh_rollups(table, dst)
+    assert victim_day in res["days"]
+    create_rollup_views(spark, dst)
+    after = spark.table("rollup_daily").toPandas()
+    after["day_"] = after["day_"].astype(str)
+    row = after[after.day_ == victim_day]
+    assert len(row) == 1
+    assert (
+        int(row.n_turns.iloc[0]) == 0
+        and int(row.active_convs.iloc[0]) == 0
+        and int(row.tool_calls.iloc[0]) == 0
+        and int(row.total_chars.iloc[0]) == 0
+    )
+
+
+def test_compaction_does_not_force_recompute(spark, setup):
+    """Compaction rewrites bases without changing logical state; change
+    detection must track DELTA leaves only (monotone union), or every
+    maintenance run re-aggregates all history and mislabels it
+    'restated'."""
+    table, log, dst = setup
+    refresh_rollups(table, dst)
+    need = table.buckets_needing_compaction() or list(range(table.num_buckets))
+    table.compact(need)
+    table.refresh()
+    assert refresh_rollups(table, dst) == {
+        "days": [], "weeks": [], "months": [], "restated": []
+    }
+
+
+def test_weekly_excludes_open_days(spark, tmp_path):
+    """Weekly/monthly windows must aggregate CLOSED days only: a week
+    containing a still-open day otherwise publishes a value that includes
+    half-ingested rows and changes with every refresh."""
+    eng = CdcEngine(spark, str(tmp_path / "tbl"), num_buckets=4)
+    log = gen_changes(spark, 150_000, n_convs=60, n_epochs=1).drop("epoch")
+    apply_batch(eng.table, log, epoch=0)
+    table = eng.table
+    # force-close ONLY day 1 (2025-01-01): deadline = day end + 12h
+    newly = close_due_partitions(table, now=dt.datetime(2025, 1, 2, 13))
+    closed_days = {m["day"] for m in newly}
+    assert closed_days == {"2025-01-01"}
+
+    dst = str(tmp_path / "rollups")
+    res = refresh_rollups(table, dst)
+    assert res["days"] == ["2025-01-01"]
+    create_rollup_views(spark, dst)
+    daily = spark.table("rollup_daily").toPandas()
+    weekly = spark.table("rollup_weekly").toPandas()
+    # the week of Jan 1 contains open days (Jan 2+) with real rows — the
+    # weekly row must cover exactly the one closed day
+    assert int(weekly.n_turns.sum()) == int(daily.n_turns.sum())
+    assert int(weekly.total_chars.sum()) == int(daily.total_chars.sum())
