@@ -169,17 +169,31 @@ def write_change_log(
     task per parquet split — too few files serializes the whole scan.
     """
     n_epochs = kwargs.get("n_epochs", 8)
-    plain = gen_changes(spark, n_events, **kwargs)
-    evolved = gen_changes(spark, n_events, with_lang=True, **kwargs)
-    for e in range(n_epochs):
-        src = evolved if (evolve_from_epoch is not None and e >= evolve_from_epoch) else plain
+    cut = n_epochs if evolve_from_epoch is None else evolve_from_epoch
+
+    def _write(src, lo, hi):
+        # ONE partitioned write per schema regime (two passes total, not
+        # one per epoch — the old per-epoch filter loop re-evaluated the
+        # generator's hash expressions n_epochs times over all rows).
+        # Dynamic overwrite lets the two regimes share the dataset root;
+        # the spread column fans each epoch over ~files_per_epoch tasks
+        # (scan parallelism downstream — the apply's map side can use at
+        # most one task per parquet split).
+        spread = F.pmod(F.xxhash64("conv_id", "turn_idx", "lsn"),
+                        F.lit(files_per_epoch))
         (
-            src.where(F.col("epoch") == e)
-            .drop("epoch")
-            .repartition(files_per_epoch)
+            src.where((F.col("epoch") >= lo) & (F.col("epoch") < hi))
+            .repartition(n_epochs * files_per_epoch, F.col("epoch"), spread)
             .write.mode("overwrite")
-            .parquet(f"{path}/epoch={e:05d}")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
         )
+
+    if cut > 0:
+        _write(gen_changes(spark, n_events, **kwargs), 0, cut)
+    if cut < n_epochs:
+        _write(gen_changes(spark, n_events, with_lang=True, **kwargs), cut, n_epochs)
 
 
 def gen_events(

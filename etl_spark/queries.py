@@ -472,7 +472,10 @@ def u_set_ops(spark, sf_dir):
     day = F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day_")
     buys = ev.where(F.col("event_type") == "purchase").select("user_id", day).distinct()
     errs = ev.where(F.col("event_type") == "error").select("user_id", day).distinct()
-    return buys.exceptAll(errs).distinct()
+    # EXCEPT DISTINCT directly — inputs are already distinct, so
+    # exceptAll().distinct() computes the same set with one extra
+    # hash-aggregate stage
+    return buys.subtract(errs)
 
 
 # --------------------------------------------------------------------------

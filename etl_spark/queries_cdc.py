@@ -124,8 +124,8 @@ SELECT CASE WHEN event_type = 'purchase' THEN 'D'
        event_type                                     AS role,
        props                                          AS text,
        CAST(NULL AS VARCHAR)                          AS tool,
-       date_trunc('second', ts)                       AS ts,
-       date_trunc('second', ts)                       AS op_ts,
+       epoch_us(date_trunc('second', ts))             AS ts_us,
+       epoch_us(date_trunc('second', ts))             AS op_ts_us,
        event_id                                       AS lsn
 FROM events WHERE event_id % 7 = 0
 """
@@ -149,4 +149,13 @@ def cdc_envelope_roundtrip(spark, sf_dir):
         F.col("event_id").alias("lsn"),
     )
     wire = to_debezium(src, payload_cols=[f.name for f in TRANSCRIPT_SCHEMA.fields])
-    return parse_debezium(wire, TRANSCRIPT_SCHEMA)
+    out = parse_debezium(wire, TRANSCRIPT_SCHEMA)
+    # gate convention (queries.py header): timestamps export as epoch
+    # micros — raw TIMESTAMP columns only hash-match the oracle while the
+    # session tz stays pinned UTC
+    return out.select(
+        "op", "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("op_ts").alias("op_ts_us"),
+        "lsn",
+    )
