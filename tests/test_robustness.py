@@ -348,3 +348,71 @@ def test_racing_engine_creation_converges(spark, tmp_path):
     for t in threads:
         t.join()
     assert errs == []
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_chaos_maintenance_interleaving_converges(spark, tmp_path, seed):
+    """Soak: a replay with randomized maintenance interleaved between
+    epochs — duplicate applies through a second handle (fenced),
+    compaction, tombstone expunge at the safe horizon, partition close,
+    vacuum — always converges to the same LWW state as an uninterrupted
+    replay. Every maintenance op is logically invisible; only the fences
+    and file layout change."""
+    import os
+
+    from etl_spark.cdc.maintenance import expunge_tombstones
+    from etl_spark.cdc.partitions import close_due_partitions
+    from etl_spark.datagen import gen_changes
+    from etl_spark.lake.table import LakeTable
+
+    rng = random.Random(seed)
+    log = gen_changes(spark, 20_000, n_convs=40, n_epochs=8).cache()
+
+    plain = CdcEngine(spark, str(tmp_path / "plain"), num_buckets=4)
+    for ep in range(8):
+        apply_batch(plain.table, log.where(F.col("epoch") == ep).drop("epoch"),
+                    epoch=ep)
+
+    eng = CdcEngine(spark, str(tmp_path / "chaos"), num_buckets=4)
+    other = None
+    for ep in range(8):
+        batch = log.where(F.col("epoch") == ep).drop("epoch")
+        apply_batch(eng.table, batch, epoch=ep)
+        for _ in range(rng.randrange(0, 3)):
+            act = rng.choice(["dup", "compact", "expunge", "close", "vacuum"])
+            if act == "dup":
+                # racing applier replays a random committed epoch — fenced
+                other = other or LakeTable(spark, eng.table.path)
+                other.refresh()
+                re_ep = rng.randrange(0, ep + 1)
+                st = apply_batch(
+                    other,
+                    log.where(F.col("epoch") == re_ep).drop("epoch"),
+                    epoch=re_ep,
+                )
+                assert st.skipped
+            elif act == "compact":
+                bs = rng.sample(range(4), rng.randrange(1, 5))
+                eng.table.compact(bs)
+            elif act == "expunge":
+                wm = eng.table.watermark_any()
+                if wm:
+                    # SAFE horizon = watermark − max lateness (the
+                    # generator back-dates ~5% of events by 48 h; an
+                    # expunged tombstone can no longer beat a late
+                    # sub-horizon change, so the horizon must clear it)
+                    horizon = dt.datetime.fromisoformat(wm) - dt.timedelta(
+                        hours=49
+                    )
+                    expunge_tombstones(eng.table, str(horizon))
+            elif act == "close":
+                close_due_partitions(eng.table, now=dt.datetime(2026, 1, 1))
+            else:
+                eng.table.vacuum(keep_meta_versions=2, min_age_seconds=0)
+
+    a = plain.table.snapshot_df().toPandas()
+    b = eng.table.snapshot_df().toPandas()
+    from tests.conftest import assert_pdf_equal
+
+    assert_pdf_equal(a, b, ["conv_id", "turn_idx"])
+    log.unpersist()
