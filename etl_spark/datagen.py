@@ -169,6 +169,20 @@ def write_change_log(
     task per parquet split — too few files serializes the whole scan.
     """
     n_epochs = kwargs.get("n_epochs", 8)
+    if n_epochs == 1 and evolve_from_epoch is None:
+        # single-epoch fast path (the scaling fixture's shape): one
+        # round-robin repartition gives EXACTLY files_per_epoch
+        # equal-sized files — the layout the declared scaling protocol
+        # measures — and a single epoch never paid the per-epoch
+        # re-generation the partitioned path below exists to avoid
+        (
+            gen_changes(spark, n_events, **kwargs)
+            .drop("epoch")
+            .repartition(files_per_epoch)
+            .write.mode("overwrite")
+            .parquet(f"{path}/epoch=00000")
+        )
+        return
     cut = n_epochs if evolve_from_epoch is None else evolve_from_epoch
 
     def _write(src, lo, hi):
@@ -181,11 +195,18 @@ def write_change_log(
         # most one task per parquet split).
         spread = F.pmod(F.xxhash64("conv_id", "turn_idx", "lsn"),
                         F.lit(files_per_epoch))
+        # hash partitioning on (epoch, spread) leaves ~1/e of the slots
+        # empty (collisions double up elsewhere); maxRecordsPerFile splits
+        # the doubled-up partitions back apart so each epoch really lands
+        # ~files_per_epoch equal files — the scan-split count downstream
+        # replay parallelism depends on
+        per_file = -(-n_events // (n_epochs * files_per_epoch))  # ceil
         (
             src.where((F.col("epoch") >= lo) & (F.col("epoch") < hi))
             .repartition(n_epochs * files_per_epoch, F.col("epoch"), spread)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", str(per_file))
             .partitionBy("epoch")
             .parquet(path)
         )
