@@ -1483,11 +1483,15 @@ def _mp4_box(tag: bytes, body: bytes, largesize: bool = False) -> bytes:
 
 
 def encode_mp4_stub(width: int, height: int, duration_ms: int,
-                    n_samples: int, timescale: int = 1000) -> bytes:
+                    n_samples: int, timescale: int = 1000,
+                    avcc: bytes | None = None) -> bytes:
     """Write a minimal valid ISO-BMFF container: ftyp + moov
     (mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl) + a stub mdat. The sample
-    table describes ``n_samples`` dummy samples; no codec payload — this
-    is the container a metadata pipeline sees, not playable video."""
+    table describes ``n_samples`` dummy samples; no codec frame payload —
+    this is the container a metadata pipeline sees, not playable video.
+    With ``avcc`` (an AVCDecoderConfigurationRecord from ``build_avcc``)
+    the stsd carries a real 'avc1' VisualSampleEntry wrapping it, exactly
+    where ``decode_h264_meta`` — and any real demuxer — looks."""
     import struct
 
     dur = duration_ms * timescale // 1000
@@ -1500,7 +1504,13 @@ def encode_mp4_stub(width: int, height: int, duration_ms: int,
     mdhd = _mp4_box(b"mdhd", struct.pack(
         ">B3xIIII2H", 0, 0, 0, timescale, dur, 0x55C4, 0))
     hdlr = _mp4_box(b"hdlr", struct.pack(">B3xI4s12x", 0, 0, b"vide") + b"\x00")
-    stsd = _mp4_box(b"stsd", struct.pack(">B3xI", 0, 0))  # 0 entries: stub
+    if avcc is not None:
+        stsd = _mp4_box(
+            b"stsd",
+            struct.pack(">B3xI", 0, 1) + _mp4_avc1_entry(width, height, avcc),
+        )
+    else:
+        stsd = _mp4_box(b"stsd", struct.pack(">B3xI", 0, 0))  # 0 entries: stub
     stts = _mp4_box(b"stts", struct.pack(">B3xIII", 0, 1, n_samples, 1))
     stsc = _mp4_box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n_samples, 1))
     stsz = _mp4_box(b"stsz", struct.pack(">B3xII", 0, 4, n_samples))
@@ -1599,10 +1609,435 @@ def decode_mp4_meta(payload: bytes) -> dict[str, Any]:
 
 
 def decode_mp4_frames(payload: bytes):
-    """Frame-level decode needs a real video codec (H.264/H.265) — not in
+    """Frame PIXEL decode needs a real video codec (H.264/H.265) — not in
     this environment; a production build plugs ffmpeg in here. Container
-    METADATA is fully parsed by ``decode_mp4_meta``."""
+    METADATA is fully parsed by ``decode_mp4_meta``, and codec-level
+    H.264 metadata (SPS/PPS: exact dimensions, profile, level, chroma,
+    entropy mode) by ``decode_h264_meta`` below."""
     raise NotImplementedError("video frame decode requires ffmpeg (not in env)")
+
+
+# -- H.264 / AVC bitstream metadata (pure stdlib) ----------------------------
+#
+# What a training-data pipeline filters video on — exact coded dimensions,
+# profile/level, chroma format, bit depth, CAVLC-vs-CABAC — lives in the
+# SPS/PPS parameter-set NAL units, not the container. Those are plain
+# Exp-Golomb bitstreams (ITU-T H.264 §7.3.2.1.1 / §7.3.2.2; reference has
+# no video path at all — this exceeds it), carried either in an ISO-BMFF
+# ``avcC`` record (ISO/IEC 14496-15 §5.3.3.1) inside the ``stsd`` sample
+# entry, or as raw Annex-B NAL units (§B.1) with 0x000001 start codes and
+# emulation-prevention bytes. Parsed for real here: EPB escape/unescape,
+# ue(v)/se(v), high-profile chroma/bit-depth/scaling-list syntax, all
+# three pic_order_cnt layouts, interlace (frame_mbs_only=0) map-unit
+# doubling, and frame cropping in chroma units. Frame PIXEL decode stays
+# behind ``decode_mp4_frames``'s NotImplementedError (needs ffmpeg).
+
+_H264_HIGH_PROFILES = frozenset(
+    {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+)
+
+
+def _rbsp_escape(raw: bytes) -> bytes:
+    """Insert emulation-prevention 0x03 after any 0x00 0x00 followed by a
+    byte ≤ 3 (H.264 §7.4.1.1) so the payload can never fake a start code."""
+    out = bytearray()
+    zeros = 0
+    for b in raw:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _rbsp_unescape(data: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for b in data:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue  # emulation-prevention byte, not payload
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+class _EgWriter:
+    """MSB-first bit writer with Exp-Golomb ue(v)/se(v) (§9.1)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def u(self, value: int, length: int):
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def ue(self, v: int):
+        k = v + 1
+        n = k.bit_length()
+        self.u(0, n - 1)
+        self.u(k, n)
+
+    def se(self, v: int):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def rbsp(self) -> bytes:
+        self.u(1, 1)  # rbsp_stop_one_bit
+        if self.n:
+            self.u(0, 8 - self.n)  # rbsp_alignment_zero_bits
+        return bytes(self.buf)
+
+
+class _EgReader:
+    """MSB-first bit reader over an UNESCAPED RBSP."""
+
+    def __init__(self, rbsp: bytes):
+        self.data = rbsp
+        self.pos = 0  # bit offset
+
+    def u(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("H.264 RBSP truncated")
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("Exp-Golomb run too long (corrupt RBSP)")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _h264_nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    return bytes([(ref_idc << 5) | nal_type]) + _rbsp_escape(rbsp)
+
+
+def encode_h264_sps(
+    width: int,
+    height: int,
+    profile_idc: int = 66,
+    level_idc: int = 31,
+    chroma_format_idc: int = 1,
+    frame_mbs_only: bool = True,
+    pic_order_cnt_type: int = 0,
+) -> bytes:
+    """Encode a real SPS NAL (type 7) for the given coded dimensions.
+    Dimensions not multiple-of-16 are expressed via frame cropping, whose
+    units are chroma-sampled: 4:2:0 needs even width/height (as in real
+    H.264), 4:2:2 even width, 4:4:4 any."""
+    subw = 2 if chroma_format_idc in (1, 2) else 1
+    subh = 2 if chroma_format_idc == 1 else 1
+    crop_unit_x = subw
+    crop_unit_y = subh * (2 - int(frame_mbs_only))
+    if width % crop_unit_x or height % crop_unit_y:
+        raise ValueError(
+            f"dimensions {width}x{height} not representable at "
+            f"chroma_format_idc={chroma_format_idc} (crop units "
+            f"{crop_unit_x}x{crop_unit_y})"
+        )
+    mb_w = -(-width // 16)
+    map_h = -(-height // (16 * (2 - int(frame_mbs_only))))
+    coded_h = map_h * 16 * (2 - int(frame_mbs_only))
+    w = _EgWriter()
+    w.u(profile_idc, 8)
+    w.u(0, 8)  # constraint_set0..5 + reserved_zero_2bits
+    w.u(level_idc, 8)
+    w.ue(0)  # seq_parameter_set_id
+    if profile_idc in _H264_HIGH_PROFILES:
+        w.ue(chroma_format_idc)
+        if chroma_format_idc == 3:
+            w.u(0, 1)  # separate_colour_plane_flag
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.u(0, 1)  # qpprime_y_zero_transform_bypass_flag
+        w.u(0, 1)  # seq_scaling_matrix_present_flag
+    elif chroma_format_idc != 1:
+        raise ValueError("non-4:2:0 chroma requires a high profile_idc")
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(pic_order_cnt_type)
+    if pic_order_cnt_type == 0:
+        w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
+    elif pic_order_cnt_type == 1:
+        w.u(0, 1)  # delta_pic_order_always_zero_flag
+        w.se(0)  # offset_for_non_ref_pic
+        w.se(0)  # offset_for_top_to_bottom_field
+        w.ue(0)  # num_ref_frames_in_pic_order_cnt_cycle
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(mb_w - 1)
+    w.ue(map_h - 1)
+    w.u(int(frame_mbs_only), 1)
+    if not frame_mbs_only:
+        w.u(0, 1)  # mb_adaptive_frame_field_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    crop_r = (mb_w * 16 - width) // crop_unit_x
+    crop_b = (coded_h - height) // crop_unit_y
+    if crop_r or crop_b:
+        w.u(1, 1)  # frame_cropping_flag
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present_flag
+    return _h264_nal(7, w.rbsp())
+
+
+def _skip_scaling_list(r: _EgReader, size: int):
+    # §7.3.2.1.1.1 — delta-coded; consumed only while nextScale stays
+    # nonzero, so skipping requires running the recurrence for real.
+    last, nxt = 8, 8
+    for _ in range(size):
+        if nxt != 0:
+            nxt = (last + r.se() + 256) % 256
+        last = nxt if nxt != 0 else last
+
+
+def parse_h264_sps(nal: bytes) -> dict[str, Any]:
+    """Parse an SPS NAL into the metadata a pipeline filters on. Exact
+    inverse of ``encode_h264_sps`` and valid for arbitrary conforming
+    SPS (scaling lists are skipped spec-correctly, all poc types and
+    interlaced streams handled)."""
+    if not nal or nal[0] & 0x1F != 7:
+        raise ValueError("not an SPS NAL (nal_unit_type != 7)")
+    r = _EgReader(_rbsp_unescape(nal[1:]))
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc, bit_depth_luma, separate_planes = 1, 8, False
+    if profile_idc in _H264_HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            separate_planes = bool(r.u(1))
+        bit_depth_luma = 8 + r.ue()
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            for i in range(8 if chroma_format_idc != 3 else 12):
+                if r.u(1):
+                    _skip_scaling_list(r, 16 if i < 6 else 64)
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    max_ref = r.ue()
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    mb_w = r.ue() + 1
+    map_h = r.ue() + 1
+    frame_mbs_only = bool(r.u(1))
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # ChromaArrayType (§7.4.2.1.1): 0 when planes are coded separately
+    chroma_array = 0 if separate_planes else chroma_format_idc
+    if chroma_array == 0:
+        unit_x, unit_y = 1, 2 - int(frame_mbs_only)
+    else:
+        unit_x = 2 if chroma_array in (1, 2) else 1
+        unit_y = (2 if chroma_array == 1 else 1) * (2 - int(frame_mbs_only))
+    coded_w = mb_w * 16
+    coded_h = (2 - int(frame_mbs_only)) * map_h * 16
+    return {
+        "width": coded_w - unit_x * (crop_l + crop_r),
+        "height": coded_h - unit_y * (crop_t + crop_b),
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
+        "bit_depth_luma": bit_depth_luma,
+        "frame_mbs_only": frame_mbs_only,
+        "max_num_ref_frames": max_ref,
+    }
+
+
+def encode_h264_pps(entropy_cabac: bool = False) -> bytes:
+    """Encode a minimal conforming PPS NAL (type 8, §7.3.2.2)."""
+    w = _EgWriter()
+    w.ue(0)  # pic_parameter_set_id
+    w.ue(0)  # seq_parameter_set_id
+    w.u(int(entropy_cabac), 1)  # entropy_coding_mode_flag
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)  # weighted_pred_flag
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(0)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.u(0, 1)  # deblocking_filter_control_present_flag
+    w.u(0, 1)  # constrained_intra_pred_flag
+    w.u(0, 1)  # redundant_pic_cnt_present_flag
+    return _h264_nal(8, w.rbsp())
+
+
+def parse_h264_pps(nal: bytes) -> dict[str, Any]:
+    if not nal or nal[0] & 0x1F != 8:
+        raise ValueError("not a PPS NAL (nal_unit_type != 8)")
+    r = _EgReader(_rbsp_unescape(nal[1:]))
+    pps_id = r.ue()
+    sps_id = r.ue()
+    cabac = bool(r.u(1))
+    return {"pps_id": pps_id, "sps_id": sps_id, "entropy_cabac": cabac}
+
+
+def encode_annexb(nals: list[bytes]) -> bytes:
+    """Annex-B byte stream: 4-byte start code before each NAL."""
+    return b"".join(b"\x00\x00\x00\x01" + n for n in nals)
+
+
+def split_annexb(stream: bytes) -> list[bytes]:
+    """Split an Annex-B stream into NAL units (3- and 4-byte start codes
+    both accepted, as emitted by real encoders)."""
+    nals, i, n = [], 0, len(stream)
+    start = None
+    while i + 3 <= n:
+        if stream[i : i + 3] == b"\x00\x00\x01":
+            if start is not None:
+                end = i
+                while end > start and stream[end - 1] == 0:
+                    end -= 1  # trailing_zero_8bits belong to no NAL
+                nals.append(stream[start:end])
+            start = i + 3
+            i += 3
+        else:
+            i += 1
+    if start is None:
+        raise ValueError("no Annex-B start code in stream")
+    end = n
+    while end > start and stream[end - 1] == 0:
+        end -= 1
+    nals.append(stream[start:end])
+    return nals
+
+
+def build_avcc(sps: bytes, pps_list: list[bytes]) -> bytes:
+    """AVCDecoderConfigurationRecord (ISO/IEC 14496-15 §5.3.3.1)."""
+    import struct
+
+    body = bytearray()
+    body += bytes([1, sps[1], sps[2], sps[3]])  # version + profile/compat/level
+    body.append(0xFF)  # reserved(6)=1s + lengthSizeMinusOne=3
+    body.append(0xE0 | 1)  # reserved(3)=1s + numOfSequenceParameterSets
+    body += struct.pack(">H", len(sps)) + sps
+    body.append(len(pps_list))
+    for pps in pps_list:
+        body += struct.pack(">H", len(pps)) + pps
+    return bytes(body)
+
+
+def parse_avcc(buf: bytes) -> dict[str, Any]:
+    import struct
+
+    if not buf or buf[0] != 1:
+        raise ValueError("bad avcC configurationVersion")
+    nalu_len = (buf[4] & 3) + 1
+    n_sps = buf[5] & 0x1F
+    pos, sps_list, pps_list = 6, [], []
+    for _ in range(n_sps):
+        (ln,) = struct.unpack_from(">H", buf, pos)
+        sps_list.append(buf[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln
+    n_pps = buf[pos]
+    pos += 1
+    for _ in range(n_pps):
+        (ln,) = struct.unpack_from(">H", buf, pos)
+        pps_list.append(buf[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln
+    return {"nalu_length_size": nalu_len, "sps": sps_list, "pps": pps_list}
+
+
+def _mp4_avc1_entry(width: int, height: int, avcc: bytes) -> bytes:
+    """VisualSampleEntry 'avc1' (ISO/IEC 14496-12 §12.1.3) wrapping avcC."""
+    import struct
+
+    name = b"\x08etl-avc1".ljust(32, b"\x00")  # compressorname, pascal-style
+    body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)  # 72dpi, 1 frame
+        + name
+        + struct.pack(">Hh", 0x0018, -1)  # depth, pre_defined
+        + _mp4_box(b"avcC", avcc)
+    )
+    return _mp4_box(b"avc1", body)
+
+
+def decode_h264_meta(payload: bytes) -> dict[str, Any]:
+    """Codec-level H.264 metadata from EITHER an ISO-BMFF container (via
+    the stsd 'avc1'/'avc3' sample entry's avcC record) or a raw Annex-B
+    byte stream (via the SPS/PPS NAL units). Returns the SPS fields plus
+    the first PPS's entropy mode and parameter-set counts."""
+    if payload[:3] == b"\x00\x00\x01" or payload[:4] == b"\x00\x00\x00\x01":
+        nals = split_annexb(payload)
+        sps_l = [n for n in nals if n and n[0] & 0x1F == 7]
+        pps_l = [n for n in nals if n and n[0] & 0x1F == 8]
+        source = "annexb"
+    else:
+        moov = _mp4_find(payload, 0, len(payload), b"moov")
+        if moov is None:
+            raise ValueError("neither Annex-B stream nor ISO-BMFF container")
+        avcc = None
+        for tag, b, e in _mp4_walk(payload, *moov):
+            if tag != b"trak":
+                continue
+            for inner in (b"mdia", b"minf", b"stbl", b"stsd"):
+                nxt = _mp4_find(payload, b, e, inner)
+                if nxt is None:
+                    break
+                b, e = nxt
+            else:
+                # stsd: fullbox header + entry_count, then sample entries
+                for tag2, b2, e2 in _mp4_walk(payload, b + 8, e):
+                    if tag2 in (b"avc1", b"avc2", b"avc3", b"avc4"):
+                        found = _mp4_find(payload, b2 + 78, e2, b"avcC")
+                        if found:
+                            avcc = payload[found[0] : found[1]]
+                if avcc:
+                    break
+        if avcc is None:
+            raise ValueError("no avcC record in any video sample entry")
+        rec = parse_avcc(avcc)
+        sps_l, pps_l = rec["sps"], rec["pps"]
+        source = "avcc"
+    if not sps_l:
+        raise ValueError("no SPS NAL found")
+    meta = parse_h264_sps(sps_l[0])
+    meta["n_sps"], meta["n_pps"] = len(sps_l), len(pps_l)
+    meta["entropy_cabac"] = (
+        parse_h264_pps(pps_l[0])["entropy_cabac"] if pps_l else None
+    )
+    meta["source"] = source
+    return meta
 
 
 def encode_wav(samples, sample_rate: int = 16_000, audio_fmt: int = 1,
@@ -1961,6 +2396,75 @@ def decode_mp4_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, MP4_META_SCHEMA)
+
+
+H264_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("profile_idc", T.IntegerType(), True),
+        T.StructField("level_idc", T.IntegerType(), True),
+        T.StructField("entropy_cabac", T.BooleanType(), True),
+    ]
+)
+
+_H264_LEVELS = (10, 20, 30, 40, 51)
+
+
+def h264_mp4_from_docs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Planted H.264-in-MP4 fixture: per document, a real ISO-BMFF
+    container whose stsd carries an avc1 sample entry with an avcC record
+    holding a real SPS/PPS — dimensions, profile, level, and entropy mode
+    all closed-form in the text byte length L, so the DuckDB oracle checks
+    the full parse (container walk → avcC → Exp-Golomb SPS) exactly."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                L = len(str(text).encode("utf-8"))
+                w, h = 2 * (2 + L % 320), 2 * (2 + L % 180)
+                profile = 66 if L % 2 == 0 else 100
+                sps = encode_h264_sps(w, h, profile, _H264_LEVELS[L % 5])
+                pps = encode_h264_pps(entropy_cabac=(L % 3 == 0))
+                payloads.append(encode_mp4_stub(
+                    w, h, 1000 + L % 7919, 1 + L % 240,
+                    avcc=build_avcc(sps, [pps])))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "mime": "video/mp4",
+                 "payload": payloads}
+            )
+
+    return docs.select(
+        F.col(id_col), F.col(text_col).alias("text")
+    ).mapInPandas(_encode, MEDIA_SCHEMA)
+
+
+def decode_h264_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched codec-metadata extraction per H.264 payload (MP4
+    avcC or Annex-B), surfacing what a video corpus pipeline filters on."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_h264_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series(
+                        [m["width"] for m in metas], dtype="int32"),
+                    "height": pd.Series(
+                        [m["height"] for m in metas], dtype="int32"),
+                    "profile_idc": pd.Series(
+                        [m["profile_idc"] for m in metas], dtype="int32"),
+                    "level_idc": pd.Series(
+                        [m["level_idc"] for m in metas], dtype="int32"),
+                    "entropy_cabac": [m["entropy_cabac"] for m in metas],
+                }
+            )
+
+    return media.mapInPandas(_decode, H264_META_SCHEMA)
 
 
 def docs_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

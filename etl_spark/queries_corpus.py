@@ -564,6 +564,33 @@ def media_decode_mp4(spark, sf_dir):
     return decode_mp4_features(mp4_from_docs(_t(spark, sf_dir, "documents")))
 
 
+# Codec-level H.264 metadata (ITU-T H.264 §7.3.2.1.1): the planted MP4's
+# stsd carries a real avc1/avcC sample entry holding a real Exp-Golomb
+# SPS/PPS; the Spark side must walk container → avcC → SPS bitstream and
+# recover dimensions (incl. frame cropping for non-mod-16 sizes), profile,
+# level, and the PPS entropy mode — every field closed-form in L, checked
+# exactly. Only frame PIXEL decode remains env-gated (needs ffmpeg).
+_MEDIA_DECODE_H264_ORACLE = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents)
+SELECT doc_id AS media_id,
+       CAST(2 * (2 + L % 320) AS INTEGER) AS width,
+       CAST(2 * (2 + L % 180) AS INTEGER) AS height,
+       CAST(CASE WHEN L % 2 = 0 THEN 66 ELSE 100 END AS INTEGER) AS profile_idc,
+       CAST(10 + 10 * (L % 5)
+            + CASE WHEN L % 5 = 4 THEN 1 ELSE 0 END AS INTEGER) AS level_idc,
+       (L % 3 = 0) AS entropy_cabac
+FROM d
+"""
+
+
+@register("media_decode_h264", _MEDIA_DECODE_H264_ORACLE)
+def media_decode_h264(spark, sf_dir):
+    from .operators.multimodal import decode_h264_features, h264_mp4_from_docs
+
+    return decode_h264_features(
+        h264_mp4_from_docs(_t(spark, sf_dir, "documents")))
+
+
 # Progressive (SOF2) JPEG through the same planted fixture. The scan
 # re-ordering is lossless over the SAME quantized coefficients, so the
 # progressive stream must decode to pixels EXACTLY equal to its

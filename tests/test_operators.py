@@ -999,6 +999,98 @@ def test_mp4_container_metadata():
         decode_mp4_frames(buf)
 
 
+def test_h264_sps_roundtrip_sweep():
+    """SPS encode→parse is exact across profiles (baseline/main/high),
+    chroma formats, interlace, all three poc layouts, and crop-requiring
+    (non-mod-16) dimensions — ITU-T H.264 §7.3.2.1.1 both directions."""
+    import itertools
+
+    from etl_spark.operators.multimodal import encode_h264_sps, parse_h264_sps
+
+    checked = 0
+    for w, h, prof, chroma, fmo, poc in itertools.product(
+        [16, 642, 1920, 1282, 4096], [16, 482, 1080, 18],
+        [66, 77, 100], [1, 2, 3], [True, False], [0, 1, 2],
+    ):
+        if chroma != 1 and prof != 100:
+            continue  # non-4:2:0 needs a high profile
+        ux = 2 if chroma in (1, 2) else 1
+        uy = (2 if chroma == 1 else 1) * (2 - int(fmo))
+        if w % ux or h % uy:
+            continue  # not representable at this chroma sampling (real rule)
+        sps = encode_h264_sps(
+            w, h, prof, level_idc=41, chroma_format_idc=chroma,
+            frame_mbs_only=fmo, pic_order_cnt_type=poc,
+        )
+        m = parse_h264_sps(sps)
+        assert (
+            m["width"], m["height"], m["profile_idc"], m["level_idc"],
+            m["chroma_format_idc"], m["frame_mbs_only"],
+        ) == (w, h, prof, 41, chroma, fmo)
+        checked += 1
+    assert checked > 200
+
+
+def test_h264_rbsp_emulation_prevention():
+    """EPB escape/unescape roundtrips adversarial payloads, and escaped
+    NAL bodies never contain a start-code prefix (§7.4.1.1)."""
+    from etl_spark.operators.multimodal import _rbsp_escape, _rbsp_unescape
+
+    cases = [
+        b"\x00\x00\x00", b"\x00\x00\x01", b"\x00\x00\x02", b"\x00\x00\x03",
+        b"\x00\x00\x00\x00\x00\x01", b"\x00" * 9, b"\xff\x00\x00\x01\x00\x00",
+        bytes(range(256)) + b"\x00\x00\x01" + bytes(range(256))[::-1],
+    ]
+    for raw in cases:
+        esc = _rbsp_escape(raw)
+        assert _rbsp_unescape(esc) == raw
+        assert b"\x00\x00\x01" not in esc and b"\x00\x00\x00" not in esc
+
+
+def test_h264_annexb_and_avcc():
+    """NAL transport both ways a real pipeline meets them: Annex-B
+    streams (3- and 4-byte start codes, trailing zeros) and the ISO-BMFF
+    avcC record; decode_h264_meta reads SPS+PPS through either."""
+    import pytest
+
+    from etl_spark.operators.multimodal import (
+        build_avcc,
+        decode_h264_meta,
+        encode_annexb,
+        encode_h264_pps,
+        encode_h264_sps,
+        encode_mp4_stub,
+        parse_avcc,
+        parse_h264_pps,
+        split_annexb,
+    )
+
+    sps = encode_h264_sps(1920, 1080, 100, 42)
+    pps = encode_h264_pps(entropy_cabac=True)
+    assert parse_h264_pps(pps) == {
+        "pps_id": 0, "sps_id": 0, "entropy_cabac": True}
+
+    rec = parse_avcc(build_avcc(sps, [pps]))
+    assert rec == {"nalu_length_size": 4, "sps": [sps], "pps": [pps]}
+
+    buf = encode_mp4_stub(1920, 1080, 5000, 120, avcc=build_avcc(sps, [pps]))
+    m = decode_h264_meta(buf)
+    assert (m["width"], m["height"], m["profile_idc"], m["level_idc"],
+            m["entropy_cabac"], m["source"]) == (1920, 1080, 100, 42, True,
+                                                 "avcc")
+
+    # the same SPS/PPS as a raw Annex-B stream, mixed start-code widths
+    stream = b"\x00\x00\x01" + sps + b"\x00\x00\x00\x01" + pps + b"\x00\x00"
+    assert split_annexb(stream) == [sps, pps]
+    m2 = decode_h264_meta(encode_annexb([sps, pps]))
+    assert m2["source"] == "annexb" and m2["width"] == 1920
+
+    with pytest.raises(ValueError):
+        decode_h264_meta(encode_mp4_stub(640, 360, 1000, 10))  # no avcC
+    with pytest.raises(ValueError):
+        split_annexb(b"\xff" * 16)  # no start code
+
+
 def test_wav_codec_roundtrip():
     import numpy as np
 
