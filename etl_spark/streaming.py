@@ -123,11 +123,65 @@ def streaming_sessions(
     )
 
 
+_DURATION_UNIT_MS = {
+    "ms": 1, "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "second": 1000, "seconds": 1000,
+    "m": 60_000, "min": 60_000, "minute": 60_000, "minutes": 60_000,
+    "h": 3_600_000, "hour": 3_600_000, "hours": 3_600_000,
+    "d": 86_400_000, "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _duration_ms(duration: str | int) -> int:
+    """'30 minutes' / '2 hours' / raw ms int → milliseconds (PySpark's
+    ``GroupState.setTimeoutDuration`` only takes the int form)."""
+    if isinstance(duration, int):
+        return duration
+    parts = duration.strip().lower().split()
+    if len(parts) == 2 and parts[1] in _DURATION_UNIT_MS:
+        return int(float(parts[0]) * _DURATION_UNIT_MS[parts[1]])
+    raise ValueError(f"unparseable duration {duration!r} (want '<n> <unit>')")
+
+
+def _progress_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    idle_timeout_ms: int | None,
+) -> Iterator[pd.DataFrame]:
+    """State-update function behind ``conversation_progress`` (module-level
+    so the timeout branch is unit-testable against a fake GroupState)."""
+    if state.hasTimedOut:
+        # idle eviction: the last emitted update already carried this
+        # conversation's final totals — drop the state, emit nothing
+        state.remove()
+        return
+    (conv_id,) = key
+    if state.exists:
+        n, mx, last = state.get
+    else:
+        n, mx, last = 0, -1, None
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            mx = max(mx, int(pdf["turn_idx"].max()))
+            batch_last = pdf["op_ts"].max()
+            last = batch_last if last is None else max(last, batch_last)
+    state.update((n, mx, last))
+    if idle_timeout_ms is not None:
+        state.setTimeoutDuration(idle_timeout_ms)
+    yield pd.DataFrame(
+        {"conv_id": [conv_id], "n_changes": [n],
+         "max_turn_idx": [mx], "last_op_ts": [last]}
+    )
+
+
 def conversation_progress(
     spark: SparkSession,
     change_log_dir: str,
     schema: T.StructType,
     max_files_per_trigger: int | None = 16,
+    idle_timeout: str | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (SURVEY §2.10 / the north rule's Arrow-vectorized stateful path):
@@ -141,29 +195,28 @@ def conversation_progress(
     need per-trigger updates rather than a committed table. Each group's
     rows arrive as an iterator of Arrow-backed pandas frames — vectorized
     per batch, never per row.
+
+    State-size bound: per-key state is a few dozen bytes, but the KEY
+    universe is every conversation ever seen — unbounded on a 10^10-event
+    stream where conv_ids keep arriving. ``idle_timeout`` (e.g.
+    ``"2 hours"``) is the scale lever: conversations idle past it are
+    evicted from the state store (processing-time timeout), so state
+    tracks the ACTIVE conversation set instead of the historical one. A
+    conversation resuming after eviction restarts its counters — accept
+    that for a monitoring surface, or use the table-as-state CDC path
+    (cdc.apply) when exact lifetime totals are required. Default ``None``
+    keeps exact totals (fine while the key universe is bounded).
+
+    Harness note: with a timeout armed, ``processAllAvailable()`` blocks
+    indefinitely (the engine always holds a pending timeout wakeup) —
+    drive timeout-enabled queries with a real trigger loop and
+    ``stop()``, as production does.
     """
 
-    def _update(
-        key: tuple,
-        pdfs: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        (conv_id,) = key
-        if state.exists:
-            n, mx, last = state.get
-        else:
-            n, mx, last = 0, -1, None
-        for pdf in pdfs:
-            n += len(pdf)
-            if len(pdf):
-                mx = max(mx, int(pdf["turn_idx"].max()))
-                batch_last = pdf["op_ts"].max()
-                last = batch_last if last is None else max(last, batch_last)
-        state.update((n, mx, last))
-        yield pd.DataFrame(
-            {"conv_id": [conv_id], "n_changes": [n],
-             "max_turn_idx": [mx], "last_op_ts": [last]}
-        )
+    timeout_ms = None if idle_timeout is None else _duration_ms(idle_timeout)
+
+    def _update(key, pdfs, state):
+        yield from _progress_update(key, pdfs, state, timeout_ms)
 
     stream = _read_change_stream(spark, change_log_dir, schema, max_files_per_trigger)
     return (
@@ -174,6 +227,10 @@ def conversation_progress(
             outputStructType=CONV_PROGRESS_SCHEMA,
             stateStructType=CONV_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
