@@ -43,7 +43,8 @@ _SWEEP_ORDER = [
     "prep_pii_redact", "w7_window_avg_quality", "j8_null_safe_join",
     "j1_left_join_preagg", "j11_theta_self_join", "w5_sessions",
     "text_profile", "f_scalar_suite", "j9_range_join", "j_semi_anti_suite",
-    "prep_sampling_suite", "j2_composite_key_join", "media_suite",
+    "prep_sampling_suite", "j2_composite_key_join", "media_decode_h264",
+    "media_suite",
     "d_rollup_suite", "a1_pricing_summary", "a_approx_sketches",
     "j3_full_outer_cohort", "j_asof_join", "doc_profile_suite",
     "j_broadcast_dims", "dedup_simhash", "cdc_envelope_roundtrip",
