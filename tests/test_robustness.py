@@ -416,3 +416,109 @@ def test_chaos_maintenance_interleaving_converges(spark, tmp_path, seed):
 
     assert_pdf_equal(a, b, ["conv_id", "turn_idx"])
     log.unpersist()
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_chaos_with_schema_evolution_converges(spark, tmp_path, seed):
+    """Soak: schema evolution INTERLEAVED with randomized maintenance.
+
+    Both tables replay the same 8-epoch log under the same fixed schema
+    schedule — epoch 3 adds a column mid-stream, epoch 4 renames a
+    payload column (later batches keep writing the OLD name, creating a
+    fresh column beside the renamed one), epoch 5 widens the added
+    column int→bigint, epoch 6 drops `role` (epoch 7's batches re-add
+    the name under a fresh field ID, so pre-drop role values must stay
+    dead) — but the chaos table additionally runs random maintenance
+    (fenced duplicate applies, compaction, safe-horizon expunge,
+    partition close, vacuum) between epochs. Byte-equal convergence
+    proves the maintenance ops commute with every schema-evolution rule,
+    not just with plain replay (the prior soak) or evolution alone (the
+    schema property test)."""
+    import os  # noqa: F401
+
+    from etl_spark.cdc.maintenance import expunge_tombstones
+    from etl_spark.datagen import gen_changes
+    from etl_spark.lake.table import LakeTable
+
+    rng = random.Random(seed)
+    log = gen_changes(spark, 20_000, n_convs=40, n_epochs=8).cache()
+
+    def epoch_batch(ep):
+        b = log.where(F.col("epoch") == ep).drop("epoch")
+        if ep >= 3:
+            # mid-stream added column; epochs >=5 write it WIDE
+            score = F.length("text").cast("bigint" if ep >= 5 else "int")
+            b = b.withColumn("score", score)
+        return b
+
+    def schema_ops(t: LakeTable, ep: int):
+        # identical schedule for both tables (keys untouched)
+        if ep == 4:
+            t.rename_column("tool", "tool_name")
+        elif ep == 6:
+            t.drop_column("role")
+
+    def replay(name, chaos: bool):
+        eng = CdcEngine(spark, str(tmp_path / name), num_buckets=4)
+        other = None
+        for ep in range(8):
+            apply_batch(eng.table, epoch_batch(ep), epoch=ep)
+            schema_ops(eng.table, ep)
+            if not chaos:
+                continue
+            for _ in range(rng.randrange(0, 3)):
+                act = rng.choice(["dup", "compact", "expunge", "vacuum"])
+                if act == "dup":
+                    other = other or LakeTable(spark, eng.table.path)
+                    other.refresh()
+                    re_ep = rng.randrange(0, ep + 1)
+                    st = apply_batch(other, epoch_batch(re_ep), epoch=re_ep)
+                    assert st.skipped
+                elif act == "compact":
+                    bs = rng.sample(range(4), rng.randrange(1, 5))
+                    eng.table.compact(bs)
+                elif act == "expunge":
+                    wm = eng.table.watermark_any()
+                    if wm:
+                        horizon = dt.datetime.fromisoformat(wm) - dt.timedelta(
+                            hours=49
+                        )
+                        expunge_tombstones(eng.table, str(horizon))
+                else:
+                    eng.table.vacuum(keep_meta_versions=2, min_age_seconds=0)
+        return eng
+
+    plain = replay("plain_se", chaos=False)
+    eng = replay("chaos_se", chaos=True)
+
+    cols = plain.table.schema().names()
+    assert cols == eng.table.schema().names()
+    # the schedule's fingerprints: renamed name live, old name re-added
+    # beside it, role re-added post-drop, score widened
+    assert "tool_name" in cols and "tool" in cols and "role" in cols
+    assert next(
+        f for f in plain.table.schema().fields if f.name == "score"
+    ).type == "bigint"
+
+    a = plain.table.snapshot_df().toPandas()
+    b = eng.table.snapshot_df().toPandas()
+    from tests.conftest import assert_pdf_equal
+
+    assert_pdf_equal(a, b, ["conv_id", "turn_idx"])
+    # pre-drop role bytes stay dead: a non-NULL role can only come from a
+    # winner written AFTER the re-add (epoch 7) — pin it against a pandas
+    # argmax over the raw log
+    raw = log.toPandas()
+    raw["_ord"] = list(zip(raw["op_ts"], raw["lsn"]))
+    win = raw.loc[raw.groupby(["conv_id", "turn_idx"])["_ord"].idxmax()]
+    e7_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in win.itertuples()
+        if r.epoch == 7 and r.op != "D"
+    }
+    got_role_keys = {
+        (r.conv_id, r.turn_idx) for r in a[a["role"].notna()].itertuples()
+    }
+    assert got_role_keys <= e7_keys
+    assert got_role_keys  # schedule guarantees some epoch-7 winners exist
+    log.unpersist()
