@@ -85,6 +85,15 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--table", required=True)
     x.add_argument("--before", required=True, help="drop tombstones with op_ts older than this (retention horizon)")
 
+    rb = sub.add_parser(
+        "rebucket",
+        help="partition-spec evolution: full rewrite under a new bucket "
+        "count (atomic; run without concurrent appliers — races fail "
+        "loudly, never corrupt)",
+    )
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--num-buckets", type=int, required=True)
+
     v = sub.add_parser(
         "vacuum",
         help="remove unreferenced data dirs + old metadata versions; "
@@ -289,6 +298,16 @@ def main(argv: list[str] | None = None) -> int:
         buckets = list(range(eng.table.num_buckets)) if args.all else None
         sid = eng.table.compact(buckets)
         print(json.dumps({"compacted": sid is not None, "snapshot_id": sid}))
+        return 0
+
+    if args.cmd == "rebucket":
+        eng = CdcEngine(spark, args.table)
+        sid = eng.table.rebucket(args.num_buckets)
+        print(json.dumps({
+            "rebucketed": sid is not None,
+            "snapshot_id": sid,
+            "num_buckets": eng.table.num_buckets,
+        }))
         return 0
 
     if args.cmd == "expunge":

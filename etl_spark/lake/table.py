@@ -792,7 +792,8 @@ class LakeTable:
 
     def write_files(self, df: DataFrame, rel: str,
                     sort_cols: list[str] | None = None,
-                    pre_partitioned: bool = False) -> str:
+                    pre_partitioned: bool = False,
+                    num_buckets: int | None = None) -> str:
         """Write one file set (delta or base), partitioned by
         ``(_bucket, _day)`` — the key dimension for co-located upserts and
         the time dimension for window pruning (the reference's
@@ -815,6 +816,7 @@ class LakeTable:
         replaced before it is ever referenced by metadata).
         """
         out = os.path.join(self.path, rel)
+        n_buckets = self.num_buckets if num_buckets is None else int(num_buckets)
         part_cols = ["_bucket"]
         if self.stats_col is not None:
             df = df.withColumn("_day", F.to_date(F.col(self.stats_col)).cast("string"))
@@ -833,9 +835,9 @@ class LakeTable:
             # write. partitionBy directories are unaffected — tasks
             # sharing a leaf each write their own part file.
             split = F.pmod(F.xxhash64(F.col(self.bucket_key), F.lit(7)), F.lit(width))
-            df = df.repartition(self.num_buckets * width, F.col("_bucket"), split)
+            df = df.repartition(n_buckets * width, F.col("_bucket"), split)
         else:
-            df = df.repartition(self.num_buckets, F.col("_bucket"))
+            df = df.repartition(n_buckets, F.col("_bucket"))
         if sort_cols:
             df = df.sortWithinPartitions(*part_cols, *sort_cols)
         (
@@ -895,6 +897,7 @@ class LakeTable:
         them (field-ID resolution then reads them correctly forever).
         """
         sv = self._meta["current_schema_version"]
+        spec_n = self.num_buckets
         for _attempt in range(self.MAX_COMMIT_RETRIES):
             try:
                 return self._build_delta_commit(
@@ -908,6 +911,17 @@ class LakeTable:
                     raise EpochFencedError(
                         f"epoch {epoch} for source {source!r} was committed by a "
                         "concurrent writer"
+                    )
+                if self.num_buckets != spec_n:
+                    # a concurrent rebucket changed the partition spec:
+                    # this delta's files are bucketed under the OLD spec,
+                    # so rebasing them into new-numbered slots would
+                    # corrupt the table. Fail loudly; the epoch stays
+                    # unfenced, so a replay recomputes under the new spec.
+                    raise CommitConflictError(
+                        f"delta commit for epoch {epoch} was bucketed under "
+                        f"num_buckets={spec_n} but a concurrent rebucket moved "
+                        f"the table to {self.num_buckets} — replay the batch"
                     )
         raise ConcurrentCommitError(
             f"delta commit for epoch {epoch} lost the metadata race "
@@ -989,6 +1003,99 @@ class LakeTable:
         self.write_files(folded, rel)
         return self.commit_rebase(buckets, rel, kind="compaction", based_on=based_on)
 
+    def rebucket(self, new_num_buckets: int) -> int | None:
+        """Partition-spec evolution: rewrite the table under a new bucket
+        count, one atomic commit (Iceberg's bucket-spec evolution, done as
+        a full rewrite since every row's bucket id changes).
+
+        The operational reason this exists at 10^10-row scale: a table
+        created with N buckets eventually outgrows them (per-bucket file
+        sets too large for compaction to rewrite in one task) or wastes
+        parallelism (tiny table, too many buckets). All per-source
+        fencing state — committed epochs, watermarks, schema, lineage —
+        carries over untouched; only the file layout and
+        ``partition.num_buckets`` change, so ingest continues exactly
+        where it left off.
+
+        Concurrency: a maintenance op, safest run without concurrent
+        appliers, but races are LOUD, never corrupting — this commit
+        requires the snapshot id to be unchanged since the fold was
+        computed (any concurrent commit ⇒ ``CommitConflictError``,
+        recompute), its snapshot entry marks every bucket id of BOTH
+        numberings dirty so any in-flight rebase conflicts on overlap,
+        and ``commit_delta``/``commit_rebase`` refuse to rebase files
+        bucketed under a superseded spec (their retry paths re-check
+        ``num_buckets``). Old file sets become unreferenced; ``vacuum``
+        reclaims them. Time travel keeps working: each metadata version
+        carries its own partition spec, so ``as_of`` reads pre-rebucket
+        snapshots under the old bucketing.
+
+        Returns the new snapshot id, or None when the count is unchanged.
+        """
+        new_n = int(new_num_buckets)
+        if new_n < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {new_n}")
+        old_n = self.num_buckets
+        if new_n == old_n:
+            return None
+        based_on = int(self._meta["current_snapshot_id"])
+        folded = self.read_buckets(None, with_internal=True, fold=True)
+        # read_buckets recomputed _bucket under the OLD spec; re-derive it
+        # under the new one (same deterministic hash, new modulus)
+        folded = folded.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(new_n)).cast("int"),
+        )
+        rel = self.new_data_rel("base")
+        self.write_files(folded, rel, num_buckets=new_n)
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            if int(self._meta["current_snapshot_id"]) != based_on:
+                raise CommitConflictError(
+                    f"rebucket fold was computed at snapshot {based_on} but a "
+                    f"concurrent commit moved the table to snapshot "
+                    f"{self._meta['current_snapshot_id']} — recompute"
+                )
+            meta = json.loads(json.dumps(self._meta))
+            sv = meta["current_schema_version"]
+            sid = meta["current_snapshot_id"] + 1
+            files: dict = {}
+            for b in range(new_n):
+                bdir = os.path.join(self.path, rel, f"_bucket={b}")
+                files[str(b)] = {
+                    "base": (
+                        self._leaf_entries(rel, b, sv)
+                        if os.path.isdir(bdir)
+                        else None
+                    ),
+                    "deltas": [],
+                }
+            meta["files"] = files
+            meta["partition"]["num_buckets"] = new_n
+            meta["snapshots"].append(
+                {
+                    "snapshot_id": sid,
+                    "kind": "rebucket",
+                    "committed_at": time.time(),
+                    # both numberings dirty: any concurrent rebase computed
+                    # against either spec must see an overlap and conflict
+                    "dirty_buckets": list(range(max(old_n, new_n))),
+                    "from_num_buckets": old_n,
+                    "to_num_buckets": new_n,
+                }
+            )
+            meta["current_snapshot_id"] = sid
+            try:
+                self._commit_meta(meta)
+                return sid
+            except ConcurrentCommitError:
+                # metadata-version race (e.g. a partition-close merge, a
+                # hint writer) — refresh and re-check the snapshot basis
+                self.refresh()
+        raise ConcurrentCommitError(
+            f"rebucket lost the metadata race {self.MAX_COMMIT_RETRIES} "
+            "times — giving up"
+        )
+
     def commit_rebase(
         self,
         buckets: list[int],
@@ -1017,6 +1124,7 @@ class LakeTable:
         if based_on is None:
             based_on = int(self._meta["current_snapshot_id"])
         sv = self._meta["current_schema_version"]
+        spec_n = self.num_buckets
         bset = {int(b) for b in buckets}
         for _attempt in range(self.MAX_COMMIT_RETRIES):
             try:
@@ -1025,6 +1133,12 @@ class LakeTable:
                 )
             except ConcurrentCommitError:
                 self.refresh()
+                if self.num_buckets != spec_n:
+                    raise CommitConflictError(
+                        f"{kind} commit computed under num_buckets={spec_n} "
+                        f"but a concurrent rebucket moved the table to "
+                        f"{self.num_buckets} — recompute against current state"
+                    )
                 if self.snapshots_truncated_before() > based_on + 1:
                     raise CommitConflictError(
                         f"{kind} commit based on snapshot {based_on} lost the "

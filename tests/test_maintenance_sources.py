@@ -224,3 +224,113 @@ def test_ingest_empty_batch_fences_epoch(spark, tmp_path):
     st = ingest_pandas(spark, eng.table, pd.DataFrame(), epoch=0, source="report")
     assert not st.skipped and st.winners == 0
     assert eng.table.snapshot_df().count() == 1
+
+
+# -- partition-spec evolution (rebucket) -------------------------------------
+
+
+def test_rebucket_preserves_state_and_ingest_continues(spark, tmp_path):
+    """Rewrite 4 -> 8 buckets mid-stream: snapshot identical, point-lookup
+    pruning works under the new spec, epoch fencing carries over, and the
+    continued replay converges byte-equal with a never-rebucketed control.
+    Shrinking (8 -> 2) on the control then also matches."""
+    from tests.conftest import assert_pdf_equal
+
+    log = gen_changes(spark, 8_000, n_convs=40, n_epochs=4).cache()
+
+    a = CdcEngine(spark, str(tmp_path / "a"), num_buckets=4)  # rebucketed
+    b = CdcEngine(spark, str(tmp_path / "b"), num_buckets=4)  # control
+    for ep in range(2):
+        for eng in (a, b):
+            apply_batch(eng.table, log.where(F.col("epoch") == ep).drop("epoch"),
+                        epoch=ep)
+
+    before = a.table.snapshot_df().toPandas()
+    sid = a.table.rebucket(8)
+    assert sid is not None and a.table.num_buckets == 8
+    assert a.table.rebucket(8) is None  # no-op at the same count
+    after = a.table.snapshot_df().toPandas()
+    assert_pdf_equal(before, after, ["conv_id", "turn_idx"])
+
+    # fencing state survived: re-applying a committed epoch is a skip
+    assert apply_batch(
+        a.table, log.where(F.col("epoch") == 1).drop("epoch"), epoch=1
+    ).skipped
+
+    # ingest continues under the new spec; both tables converge
+    for ep in range(2, 4):
+        for eng in (a, b):
+            apply_batch(eng.table, log.where(F.col("epoch") == ep).drop("epoch"),
+                        epoch=ep)
+    assert_pdf_equal(
+        a.table.snapshot_df().toPandas(),
+        b.table.snapshot_df().toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+
+    # point lookup prunes correctly under the evolved spec
+    any_conv = a.table.snapshot_df().select("conv_id").first()["conv_id"]
+    want = b.table.lookup(any_conv).toPandas()
+    got = a.table.lookup(any_conv).toPandas()
+    assert_pdf_equal(got, want, ["conv_id", "turn_idx"])
+
+    # shrink the control 4 -> 2 and it still matches the rebucketed table
+    b.table.rebucket(2)
+    assert b.table.num_buckets == 2
+    assert_pdf_equal(
+        a.table.snapshot_df().toPandas(),
+        b.table.snapshot_df().toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+    log.unpersist()
+
+
+def test_rebucket_time_travel_reads_old_spec(spark, tmp_path):
+    """as_of a pre-rebucket version reads the OLD layout (each metadata
+    version carries its own partition spec)."""
+    from tests.conftest import assert_pdf_equal
+
+    eng = CdcEngine(spark, str(tmp_path / "tt"), num_buckets=4)
+    log = gen_changes(spark, 3_000, n_convs=20, n_epochs=1).drop("epoch")
+    apply_batch(eng.table, log, epoch=0)
+    v_before = eng.table.version
+    before = eng.table.snapshot_df().toPandas()
+
+    eng.table.rebucket(8)
+    old = eng.table.as_of(v_before)
+    assert old.num_buckets == 4 and eng.table.num_buckets == 8
+    assert_pdf_equal(old.snapshot_df().toPandas(), before,
+                     ["conv_id", "turn_idx"])
+
+
+def test_rebucket_races_fail_loudly_never_corrupt(spark, tmp_path):
+    """A delta staged under the OLD spec must not rebase onto a
+    rebucketed table (commit_delta raises CommitConflictError), and a
+    rebucket whose fold basis was overtaken by a commit must itself
+    conflict rather than erase the newer data."""
+    from etl_spark.lake.table import CommitConflictError, LakeTable
+    from tests.test_robustness import _stage_delta
+
+    eng = CdcEngine(spark, str(tmp_path / "race"), num_buckets=4)
+    log = gen_changes(spark, 2_000, n_convs=20, n_epochs=1).drop("epoch")
+    apply_batch(eng.table, log, epoch=0)
+
+    # stale applier stages a delta under num_buckets=4, then a rebucket
+    # lands; the stale commit must fail loudly (epoch stays unfenced)
+    stale = LakeTable(spark, eng.table.path)
+    rel, bucket = _stage_delta(stale, "convX", "old-spec-write", 999)
+    eng.table.rebucket(8)
+    with pytest.raises(CommitConflictError, match="rebucket"):
+        stale.commit_delta(1, "default", rel, [bucket])
+    eng.table.refresh()
+    assert eng.table.committed_epoch("default") == 0  # nothing fenced
+
+    # rebucket computed against a stale basis conflicts instead of
+    # erasing the concurrent commit
+    racer = LakeTable(spark, eng.table.path)
+    racer.refresh()
+    apply_batch(eng.table, log.limit(10), epoch=1)  # basis moves
+    with pytest.raises(CommitConflictError, match="recompute"):
+        racer.rebucket(16)
+    eng.table.refresh()
+    assert eng.table.num_buckets == 8  # racer changed nothing
