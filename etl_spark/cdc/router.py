@@ -80,14 +80,21 @@ def route_batch(
     source: str = "router",
     rest: LakeTable | None = None,
     stable_routes: bool = False,
+    rest_known: list[str] | None = None,
 ) -> dict[str, ApplyStats]:
     """Apply one micro-batch to every destination table (see module doc
     for the two routing modes). Returns per-destination ApplyStats
-    (skipped=True where the epoch was already fenced)."""
+    (skipped=True where the epoch was already fenced).
+
+    ``rest_known`` overrides the value set the rest table treats as
+    "routed elsewhere" (default: ``tables``' keys). Backfill callers pass
+    the FULL destination set while applying to only the newly-created
+    tables — otherwise a historical row whose value belongs to an
+    existing table would land its image in the rest table too."""
     import os
 
     stats: dict[str, ApplyStats] = {}
-    known = list(tables)
+    known = list(tables) if rest_known is None else list(rest_known)
     if rest is not None:
         # a routed table sharing the rest table's path would be applied
         # TWICE under the same (source, epoch) — the second apply is
@@ -260,20 +267,49 @@ def route_replay(
     of routed snapshots equals the spine. ``rest_name=None`` raises on the
     first such row instead of dropping it.
 
+    A table created lazily at epoch k (a route value's first sight, or
+    the rest table) is BACKFILLED with epochs 0..k-1's routed view before
+    joining the stream. Without this, the new table misses the
+    move-tombstones of earlier epochs, and a late-arriving event that
+    LOSES the global LWW fold (older op_ts, delivered after the winner)
+    would have nothing to lose to inside the new table — resurrecting its
+    key there and breaking union-equals-spine (found by the
+    test_property_router fuzz). The backfill replays the retained change
+    log, so it is exact at every LWW order — an alternative seeding from
+    the other tables' current winner sets was rejected because a
+    synthetic tombstone at (or adjacent to) the winner's own (op_ts, lsn)
+    can tie a genuine event's order and make the fold ambiguous. Cost:
+    O(history) once per NEW destination — rare (a new event type), and
+    the tombstones it writes are reclaimed by compact+expunge.
+
     Resumable like any replay: per-table epoch fencing turns re-run
-    epochs into no-ops, so a crash anywhere converges on re-run.
+    epochs (and re-run backfills) into no-ops, so a crash anywhere —
+    including mid-backfill — converges on re-run.
     """
     from .engine import CdcEngine
 
     tables: dict[str, LakeTable] = {}
     rest: LakeTable | None = None
+    history: list[tuple[int, str]] = []
     for epoch, path in CdcEngine.list_epochs(change_log_dir):
         changes = spark.read.parquet(path)
         vals, null_nondelete = discover_routes(changes, route_col)
+        fresh_vals = [v for v in vals if v not in tables]
         _ensure_tables(spark, base_path, tables, vals, num_buckets, rest_name)
+        had_rest = rest is not None
         rest = _ensure_rest(
             spark, base_path, rest, null_nondelete, rest_name, num_buckets
         )
+        fresh = {v: tables[v] for v in fresh_vals}
+        fresh_rest = rest if (rest is not None and not had_rest) else None
+        if history and (fresh or fresh_rest is not None):
+            for e_prev, p_prev in history:
+                route_batch(
+                    fresh, spark.read.parquet(p_prev), e_prev,
+                    route_col=route_col, stable_routes=stable_routes,
+                    rest=fresh_rest, rest_known=list(tables),
+                )
+        history.append((epoch, path))
         yield epoch, route_batch(
             tables, changes, epoch, route_col=route_col,
             stable_routes=stable_routes, rest=rest,
@@ -303,10 +339,24 @@ def stream_route(
     (``fencing_namespace``) so a rebuilt checkpoint reprocesses under a
     fresh source instead of being fenced away. Call
     ``.processAllAvailable()`` / ``awaitTermination`` on the result.
+
+    A destination created lazily mid-stream is backfilled like in
+    ``route_replay`` — without it, a late LWW loser arriving after the
+    table's creation resurrects its key there (see route_replay's
+    docstring). Micro-batch boundaries aren't addressable after the
+    fact, so the backfill applies the WHOLE change-log directory visible
+    at creation time as one batch under the ``<source>_backfill`` fence.
+    Rows of still-unprocessed files get applied early and then again in
+    their real micro-batch — bit-identical duplicates that the LWW fold
+    collapses, so this is exact (storage-only cost, reclaimed by
+    compaction). Only genuinely NEW tables backfill (no commits under
+    either fence), so a stream restart doesn't re-replay the log into
+    established tables.
     """
     from .engine import CHANGE_SCHEMA, CdcEngine, fencing_namespace
 
     source = fencing_namespace(checkpoint_dir, "router")
+    bf_source = f"{source}_backfill"
     tables: dict[str, LakeTable] = {}
     rest_box: list[LakeTable | None] = [None]
 
@@ -320,10 +370,32 @@ def stream_route(
 
     def _apply(batch_df, batch_id: int):
         vals, null_nondelete = discover_routes(batch_df, route_col)
+        fresh_vals = [v for v in vals if v not in tables]
         _ensure_tables(spark, base_path, tables, vals, num_buckets, rest_name)
+        had_rest = rest_box[0] is not None
         rest_box[0] = _ensure_rest(
             spark, base_path, rest_box[0], null_nondelete, rest_name, num_buckets
         )
+        fresh = {
+            v: tables[v] for v in fresh_vals
+            if tables[v].committed_epoch(source) < 0
+            and tables[v].committed_epoch(bf_source) < 0
+        }
+        fresh_rest = rest_box[0] if (rest_box[0] is not None and not had_rest
+                                     and rest_box[0].committed_epoch(source) < 0
+                                     and rest_box[0].committed_epoch(bf_source) < 0
+                                     ) else None
+        if int(batch_id) > 0 and (fresh or fresh_rest is not None):
+            prior = (
+                spark.read.schema(schema or CHANGE_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(change_log_dir)
+            )
+            route_batch(
+                fresh, prior, int(batch_id), route_col=route_col,
+                source=bf_source, stable_routes=stable_routes,
+                rest=fresh_rest, rest_known=list(tables),
+            )
         route_batch(
             tables, batch_df, int(batch_id), route_col=route_col,
             source=source, stable_routes=stable_routes, rest=rest_box[0],

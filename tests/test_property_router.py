@@ -1,0 +1,117 @@
+"""Property-based (hypothesis) model check of multi-table routing.
+
+The directed tests in test_router pin each mechanism (moves, fencing,
+rest table, collisions) one at a time; here hypothesis drives random
+CDC histories through ``route_replay`` — route values MUTATING for live
+keys (rows moving between tables), late arrivals that lose the LWW fold
+(a move must not be half-applied by a loser), NULL-route non-deletes
+(rest table), NULL-payload deletes (fanned everywhere) — and every
+destination table's final snapshot is compared against an independent
+pure-Python model:
+
+  * table <v> holds exactly the keys whose LWW winner (max by
+    (op_ts, lsn) over the WHOLE log) is a non-delete with route value v;
+  * the rest table holds exactly the live winners with a NULL route;
+  * everything else (tombstones from moves/deletes) is absent.
+
+The model never touches Spark, the router, or the table format —
+agreement is evidence. This pins the router's core claim (cdc/router.py
+module docstring): in general mode the union of routed snapshots equals
+the spine for ANY interleaving, including late-arriving move losers.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, example, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from etl_spark.cdc.engine import CHANGE_SCHEMA  # noqa: E402
+from etl_spark.cdc.router import route_replay  # noqa: E402
+from etl_spark.lake.table import LakeTable  # noqa: E402
+
+_KEYS = [("a", 0), ("a", 1), ("b", 0), ("hot", 7)]
+_TS = [dt.datetime(2025, 1, 1, 0, 0, s) for s in range(3)]
+_ROLES = ["user", "assistant", None]  # None on a non-delete -> rest table
+_FIXED_TS = dt.datetime(2025, 1, 1)
+
+# (op, key index, op_ts index, role index)
+_row = st.tuples(
+    st.sampled_from(["I", "U", "D"]),
+    st.integers(min_value=0, max_value=len(_KEYS) - 1),
+    st.integers(min_value=0, max_value=len(_TS) - 1),
+    st.integers(min_value=0, max_value=len(_ROLES) - 1),
+)
+
+_scenario = st.lists(
+    st.lists(_row, min_size=1, max_size=6), min_size=1, max_size=3
+)
+
+
+def _model_tables(events):
+    """events: ((conv, turn), op_ts, lsn, op, role) in arrival order.
+    Returns {table_name: {key: role_or_None}} of expected LIVE rows."""
+    winners: dict = {}
+    for key, op_ts, lsn, op, role in events:
+        cur = winners.get(key)
+        if cur is None or (op_ts, lsn) > (cur[0], cur[1]):
+            winners[key] = (op_ts, lsn, op, role)
+    out: dict = {}
+    for key, (_, _, op, role) in winners.items():
+        if op == "D":
+            continue
+        out.setdefault(role if role is not None else "__rest__", {})[key] = role
+    return out
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+# move user->assistant, then a LATE losing event with the OLD role: the
+# key must sit in assistant only (the loser must not resurrect membership)
+@example([
+    [("I", 0, 0, 0)],
+    [("U", 0, 2, 1)],
+    [("U", 0, 1, 0)],
+])
+# NULL-payload delete after a move: gone from every table
+@example([[("I", 1, 0, 0), ("U", 1, 1, 1)], [("D", 1, 2, 2)]])
+# NULL-route non-delete -> rest; later move out of rest into a real table
+@example([[("I", 2, 0, 2)], [("U", 2, 1, 1)]])
+@given(_scenario)
+def test_route_replay_matches_model(spark, tmp_path_factory, scenario):
+    work = tmp_path_factory.mktemp("prop_router")
+    log = str(work / "log")
+    lsn = 0
+    events = []
+    for epoch_no, rows in enumerate(scenario):
+        batch = []
+        for op, ki, ti, ri in rows:
+            lsn += 1
+            conv, turn = _KEYS[ki]
+            role = None if op == "D" else _ROLES[ri]
+            text = None if op == "D" else f"t{lsn}"
+            batch.append(
+                (op, conv, turn, role, text, None, _FIXED_TS, _TS[ti], lsn)
+            )
+            events.append(((conv, turn), _TS[ti], lsn, op, role))
+        spark.createDataFrame(batch, schema=CHANGE_SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(log, f"epoch={epoch_no:05d}"))
+
+    base = str(work / "routed")
+    list(route_replay(spark, log, base, route_col="role", num_buckets=4))
+
+    want = _model_tables(events)
+    got = {}
+    for v in sorted(os.listdir(base)):
+        rows = LakeTable(spark, os.path.join(base, v)).snapshot_df().collect()
+        if rows:  # discovered-then-emptied tables may exist with 0 live rows
+            got[v] = {(r.conv_id, r.turn_idx): r.role for r in rows}
+    assert got == want, f"routed tables {got} != model {want}"

@@ -344,3 +344,78 @@ def test_route_replay_path_unsafe_values_land_in_rest(spark, tmp_path):
     # _ensure_tables fails loudly instead of joining the path
     with pytest.raises(ValueError, match="not a safe path component"):
         _ensure_tables(spark, base, {}, ["../oops"], 4, "__rest__")
+
+
+def test_late_loser_after_lazy_table_creation_batch(spark, tmp_path):
+    """A route value first sighted at epoch k gets a BACKFILLED table:
+    a later event that loses the global LWW fold (older op_ts, higher
+    lsn) must find the earlier epochs' move-tombstones there and lose —
+    not resurrect its key in the new table (the test_property_router
+    shrink that exposed the gap)."""
+    import datetime as dt
+    import os
+
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+    from etl_spark.cdc.router import route_replay
+    from etl_spark.lake.table import LakeTable
+
+    T = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)
+    log = str(tmp_path / "log")
+    epochs = [
+        [("I", "a", 0, "assistant", "win", None, T(0), T(1), 1)],
+        # late loser: older op_ts, delivered later, first sight of "user"
+        [("U", "a", 0, "user", "lose", None, T(0), T(0), 2)],
+    ]
+    for i, rows in enumerate(epochs):
+        spark.createDataFrame(rows, schema=CHANGE_SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(log, f"epoch={i:05d}"))
+
+    base = str(tmp_path / "routed")
+    list(route_replay(spark, log, base, route_col="role", num_buckets=4))
+
+    rows = {
+        v: LakeTable(spark, os.path.join(base, v)).snapshot_df().collect()
+        for v in sorted(os.listdir(base))
+    }
+    assert [(r.conv_id, r.turn_idx, r.text) for r in rows["assistant"]] == \
+        [("a", 0, "win")]
+    assert rows.get("user", []) == []
+
+
+def test_late_loser_after_lazy_table_creation_stream(spark, tmp_path):
+    """Same guarantee on the streaming path: a table created mid-stream
+    backfills from the visible change log before joining the stream."""
+    import datetime as dt
+    import os
+
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+    from etl_spark.cdc.router import stream_route
+    from etl_spark.lake.table import LakeTable
+
+    T = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)
+    log = str(tmp_path / "log")
+    epochs = [
+        [("I", "a", 0, "assistant", "win", None, T(0), T(1), 1)],
+        [("U", "a", 0, "user", "lose", None, T(0), T(0), 2)],
+    ]
+    for i, rows in enumerate(epochs):
+        spark.createDataFrame(rows, schema=CHANGE_SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(log, f"epoch={i:05d}"))
+
+    q = stream_route(
+        spark, log, str(tmp_path / "routed"), str(tmp_path / "ckpt"),
+        route_col="role", num_buckets=4, max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    base = str(tmp_path / "routed")
+    rows = {
+        v: LakeTable(spark, os.path.join(base, v)).snapshot_df().collect()
+        for v in sorted(os.listdir(base))
+    }
+    assert [(r.conv_id, r.turn_idx, r.text) for r in rows["assistant"]] == \
+        [("a", 0, "win")]
+    assert rows.get("user", []) == []
