@@ -157,6 +157,26 @@ def resolve_dedup_strategy(
     return "narrow" if est_keys <= cap else "narrow-sh"
 
 
+def _statically_empty(df: DataFrame) -> bool:
+    """True iff the optimizer already PROVED ``df`` has zero rows (the
+    plan folds to an empty LocalRelation — e.g. ``createDataFrame([],
+    schema)``, a ``limit(0)`` change feed, or a scan of a table with no
+    files). Driver-only plan inspection, no job; an undecidable or
+    non-empty plan returns False and takes the normal path. A batch that
+    merely HAPPENS to be empty (a filter matching nothing over real
+    files) is not detected here and flows through the normal pipeline,
+    which handles zero surviving rows fine — the guard exists for plans
+    Spark collapses so far that their Observation node never executes."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return (
+            plan.getClass().getSimpleName() == "LocalRelation"
+            and plan.data().isEmpty()
+        )
+    except Exception:  # pragma: no cover - py4j/plan API drift
+        return False
+
+
 @dataclass
 class ApplyStats:
     epoch: int
@@ -214,6 +234,21 @@ def apply_batch(
         return ApplyStats(epoch=epoch, skipped=True, wall_s=time.time() - t0)
 
     stats = ApplyStats(epoch=epoch)
+    if _statically_empty(changes):
+        # A provably-empty batch (empty createDataFrame, a limit(0) feed,
+        # a full resync of a never-written source) still needs its epoch
+        # FENCED — exactly-once means the caller must be able to resume
+        # past it — but the write pipeline below would attach Observations
+        # to a plan Spark collapses to an empty LocalRelation, and
+        # Observation.get then fails on the never-executed node. Commit a
+        # fencing-only delta instead (same shape delete_where uses for
+        # zero matched rows): no files, no schema change, no watermark
+        # movement.
+        stats.snapshot_id = table.commit_delta(
+            epoch, source, "", [], stats={"kind": "empty_batch"}
+        )
+        stats.wall_s = time.time() - t0
+        return stats
     prev_wm = table.watermark(source)  # events below this are LATE (flagged, kept)
 
     # 1. schema evolution: widen the table so this batch's payload fits
@@ -332,9 +367,27 @@ def apply_batch(
         pre_partitioned=(strategy == "fused"),
     )
 
-    m = dict(obs.get)
-    if pre is not None:
-        m.update(pre.get)
+    try:
+        m = dict(obs.get)
+        if pre is not None:
+            m.update(pre.get)
+    except Exception:
+        # Observation.get fails on a never-executed metrics node: Spark
+        # collapses a zero-row plan (AQE empty-exchange propagation, or an
+        # RDD-backed empty relation the static guard above can't prove)
+        # and the CollectMetrics subtree never runs. Confirm the batch is
+        # genuinely empty — one cheap job, paid only on this cold path —
+        # then fence the epoch with an empty commit exactly like the
+        # static guard; the written empty delta dir is orphaned and
+        # vacuum-reclaimed. A non-empty batch re-raises: that is a real
+        # observation failure, not an empty-plan artifact.
+        if not changes.isEmpty():
+            raise
+        stats.snapshot_id = table.commit_delta(
+            epoch, source, "", [], stats={"kind": "empty_batch"}
+        )
+        stats.wall_s = time.time() - t0
+        return stats
     stats.winners = int(m["n_keys"])
     stats.rows_in = int(m["rows_in"] or 0)
     stats.dirty_buckets = sorted(int(b) for b in (m["buckets"] or []))

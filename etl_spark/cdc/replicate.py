@@ -20,8 +20,13 @@ overwritten backwards; stale rows are).
 Delete ordering: a delete whose tombstone still exists on the source
 carries the tombstone's own (op_ts, lsn). If the tombstone was expunged
 before the replica saw it, the feed has no order key — those deletes are
-stamped (source watermark, 2^62), the same deletion-wins-ties convention
-as GDPR erasure (cdc/maintenance.py), and documented there.
+stamped (newest expunge horizon − 1 µs, 2^62): below the horizon the
+expunge precondition guarantees nothing can still arrive, so the stamp
+beats exactly what the expunged tombstone beat and loses to every event
+the source can still accept (a later legitimate re-insert replicates
+instead of being blocked). Falls back to (source watermark, 2^62) — the
+GDPR deletion-wins-ties convention — if metadata-log truncation dropped
+every expunge snapshot.
 
 Schema evolution: adds/widens on the source propagate automatically
 (the apply's name-based evolution). A source-side RENAME does not — the
@@ -38,6 +43,7 @@ incremental replication instead.
 
 from __future__ import annotations
 
+import datetime as dt
 from dataclasses import dataclass
 
 from pyspark.sql import functions as F
@@ -94,13 +100,36 @@ def sync_replica(src: LakeTable, dst: LakeTable) -> SyncStats:
         )
         mode = "full"
 
-    wm = src.watermark_any()
+    # A delete whose tombstone was expunged before this sync observed it
+    # arrives with NULL ordering. Stamp it 1 µs BELOW the newest expunge
+    # horizon: the expunge precondition (no in-flight change below the
+    # horizon can still arrive) then guarantees the stamp beats everything
+    # the expunged tombstone legitimately beat — the replica's image of
+    # the key predates that tombstone — while every event the source can
+    # still accept (op_ts >= horizon) wins over it, so a later legitimate
+    # re-insert replicates instead of being blocked forever (divergence
+    # found by the test_property_replicate probe). Fall back to the
+    # watermark (deletion-wins-ties, same as GDPR) only when no expunge
+    # snapshot survives metadata-log truncation.
+    horizons = [
+        s["before_op_ts"]
+        for s in src.snapshots()
+        if s.get("kind") == "expunge" and "before_op_ts" in s
+    ]
+    if horizons:
+        stamp_ts = max(
+            dt.datetime.fromisoformat(h) for h in horizons
+        ) - dt.timedelta(microseconds=1)
+        stamp = F.lit(stamp_ts).cast("timestamp")
+    else:
+        wm = src.watermark_any()
+        stamp = (
+            F.to_timestamp(F.lit(wm)) if wm else F.lit(None).cast("timestamp")
+        )
     changes = feed.select(
         F.when(F.col("_change_type") == "delete", "D").otherwise("U").alias("op"),
         *payload,
-        F.coalesce(
-            F.col("_op_ts"), F.to_timestamp(F.lit(wm)) if wm else F.lit(None).cast("timestamp")
-        ).alias("op_ts"),
+        F.coalesce(F.col("_op_ts"), stamp).alias("op_ts"),
         F.coalesce(F.col("_lsn"), F.lit(_DELETE_LSN)).alias("lsn"),
     )
     stats = apply_batch(dst, changes, epoch=cur_v, source=tag)

@@ -484,3 +484,35 @@ def test_narrow_exact_ties_one_row_per_key(spark):
     agg = lww_dedup(changes)
     assert_pdf_equal(exact.toPandas(), agg.toPandas(), ["conv_id", "turn_idx"])
     assert exact.count() == 2
+
+
+def test_empty_batch_fences_epoch_without_crashing(spark, tmp_path):
+    """A provably-empty batch (empty local relation, a limit(0) change
+    feed, a full resync of a never-written source) must FENCE its epoch
+    with an empty commit instead of crashing: Spark collapses such plans
+    far enough that the lineage Observation node never executes, and
+    Observation.get then fails (found by the replication soak's minimal
+    scenario — a sync_replica on an empty source)."""
+    import datetime as dt
+
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+
+    t = CdcEngine(spark, str(tmp_path / "t"), num_buckets=4).table
+    # RDD-backed empty (runtime-detected path)
+    st = apply_batch(t, spark.createDataFrame([], schema=CHANGE_SCHEMA), epoch=0)
+    assert (st.rows_in, st.winners, st.skipped) == (0, 0, False)
+    assert st.snapshot_id is not None  # the epoch is fenced by a commit
+    assert apply_batch(
+        t, spark.createDataFrame([], schema=CHANGE_SCHEMA), epoch=0
+    ).skipped
+    # Catalyst-provable empty (static-guard path): limit(0)
+    rows = [("I", "k", 0, "user", "v", None, dt.datetime(2025, 1, 1),
+             dt.datetime(2025, 1, 1), 1)]
+    df = spark.createDataFrame(rows, schema=CHANGE_SCHEMA)
+    st2 = apply_batch(t, df.limit(0), epoch=1)
+    assert (st2.rows_in, st2.winners) == (0, 0) and st2.snapshot_id is not None
+    # a real batch afterwards applies normally on the next epoch
+    st3 = apply_batch(t, df, epoch=2)
+    assert st3.winners == 1
+    assert [r.conv_id for r in t.snapshot_df().collect()] == ["k"]

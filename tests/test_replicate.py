@@ -90,3 +90,48 @@ def test_sync_survives_source_schema_evolution(spark, tmp_path):
     assert "lang" in dst.schema().names()
     got = {r.conv_id: r.lang for r in dst.snapshot_df().collect()}
     assert got["c"] == "en" and got["a"] is None
+
+
+def test_expunged_delete_does_not_block_later_reinsert(spark, tmp_path):
+    """An orderless delete (tombstone expunged before the sync observed
+    it) is stamped just below the expunge horizon — NOT at the watermark.
+    A watermark stamp can exceed in-flight legitimate traffic: the source
+    accepts a re-insert at op_ts >= horizon while the replica's stamped
+    tombstone (wm, 2^62) blocks it forever (probe that found the bug).
+    With the horizon stamp the replica converges."""
+    import datetime as dt
+
+    from etl_spark.cdc.maintenance import expunge_tombstones
+
+    B = dt.datetime(2025, 1, 1)
+    S = lambda s: B + dt.timedelta(seconds=s)
+    src = CdcEngine(spark, str(tmp_path / "src"), num_buckets=4).table
+    dst = create_replica(src, str(tmp_path / "dst"))
+    # K inserted; watermark pushed to t2 by another key; replica synced
+    apply_batch(src, _batch(spark, [
+        ("I", "k", 0, "user", "v0", None, B, S(0), 1),
+        ("I", "x", 0, "user", "other", None, B, S(2), 2),
+    ]), epoch=0)
+    sync_replica(src, dst)
+    # K deleted at t0.5; tombstone compacted + expunged (horizon t1 — the
+    # operator guarantees nothing below t1 can still arrive)
+    apply_batch(src, _batch(spark, [
+        ("D", "k", 0, None, None, None, B, S(0.5), 3),
+    ]), epoch=1)
+    src.compact()
+    expunge_tombstones(src, before_op_ts=str(S(1)))
+    st = sync_replica(src, dst)
+    assert st.mode == "incremental"  # the orderless-delete path, not a resync
+    assert {r.conv_id for r in dst.snapshot_df().collect()} == {"x"}
+    # legitimate re-insert at exactly the horizon: source accepts it...
+    apply_batch(src, _batch(spark, [
+        ("I", "k", 0, "user", "revived", None, B, S(1), 4),
+    ]), epoch=2)
+    sync_replica(src, dst)
+    # ...and the replica must follow instead of staying blocked
+    want = sorted((r.conv_id, r.turn_idx, r.text)
+                  for r in src.snapshot_df().collect())
+    got = sorted((r.conv_id, r.turn_idx, r.text)
+                 for r in dst.snapshot_df().collect())
+    assert want == [("k", 0, "revived"), ("x", 0, "other")]
+    assert got == want
