@@ -130,11 +130,22 @@ def close_due_partitions(
     return newly
 
 
+def _is_null_day(entry_path: str) -> bool:
+    """A leaf in the hive default partition: rows whose event time is
+    NULL — canonically, payload-less deletes (a Debezium-style tombstone
+    carries no row image, so no ts). Such a leaf can tombstone a key in
+    ANY day partition."""
+    return "_day=__HIVE_DEFAULT_PARTITION__" in entry_path
+
+
 def _leaves_for_day(table: LakeTable, day: str) -> list[str]:
     out = []
     for slot in table._meta["files"].values():
         for e in table._base_entries(slot) + slot["deltas"]:
-            if _day_of(e["path"]) == day:
+            if _day_of(e["path"]) == day or _is_null_day(e["path"]):
+                # NULL-day leaves join every day's close baseline: they
+                # can affect any day, so a PRE-existing one must not read
+                # as new data after the close
                 out.append(e["path"])
     return out
 
@@ -146,7 +157,15 @@ def restatements(table: LakeTable) -> list[dict]:
     for a closed day that was not yet present when the day closed.
     (Base leaves are excluded: compaction rewrites the same rows into a
     new base, which is not new data.) Downstream rollups use this to
-    know which closed days to re-state."""
+    know which closed days to re-state.
+
+    A new delta leaf in the NULL-day partition (``_is_null_day``)
+    restates EVERY closed day: it holds payload-less deletes, and a
+    tombstone with no event time can kill a row in any day partition —
+    without this, a NULL-ts delete left the victim day's published
+    rollup stale forever (found by the rollup property soak). Deletes
+    that carry the victim's image (and therefore its ts) keep restating
+    only their own day; emit those when wide re-derives matter."""
     closed = closed_partitions(table)
     out = []
     for slot in table._meta["files"].values():
@@ -154,4 +173,8 @@ def restatements(table: LakeTable) -> list[dict]:
             d = _day_of(e["path"])
             if d and d in closed and e["path"] not in set(closed[d].get("leaves", [])):
                 out.append({"day": d, "leaf": e["path"], "closed": closed[d]})
+            elif d is None and _is_null_day(e["path"]):
+                for day, mark in closed.items():
+                    if e["path"] not in set(mark.get("leaves", [])):
+                        out.append({"day": day, "leaf": e["path"], "closed": mark})
     return sorted(out, key=lambda r: (r["day"], r["leaf"]))

@@ -22,6 +22,20 @@ Engine shape, designed for the 100 TB case:
   * Weekly/monthly grains recompute per affected week/month from the
     source with the same pruned window — COUNT(DISTINCT conv_id) does
     not fold from daily rows, so rolling up the rollup would be wrong.
+
+Event-time stability CONTRACT (what makes pruned day reads exact): a
+key's ``stats_col`` must not move across day boundaries once written —
+the time-pruned fold only sees the window's day partitions (plus the
+always-scanned NULL-day partition), so an update relocating a row's
+event time from day X to day Y would leave X's window folding the stale
+pre-move image. The engine enforces this on the DML path
+(``update_where`` refuses to SET the stats column) and it matches the
+domain (a transcript turn's event time is when the turn happened); a
+CDC source that genuinely restates event times must delete+re-insert,
+which lands leaves in BOTH days and re-derives both. Deletes need no
+event time at all: a payload-less (NULL-ts) delete lands in the
+NULL-day partition, which every pruned read scans and whose new delta
+leaves re-derive every closed day (see refresh_rollups).
 """
 
 from __future__ import annotations
@@ -60,6 +74,19 @@ def _delta_leaves_for_day(table: LakeTable, day: str) -> list[str]:
     for slot in table._meta["files"].values():
         for e in slot["deltas"]:
             if _day_of(e["path"]) == day:
+                out.append(e["path"])
+    return out
+
+
+def _null_day_delta_leaves(table: LakeTable) -> list[str]:
+    """Delta leaves in the hive default partition — payload-less deletes
+    (NULL event time), which can tombstone a row in ANY day."""
+    from .cdc.partitions import _is_null_day
+
+    out = []
+    for slot in table._meta["files"].values():
+        for e in slot["deltas"]:
+            if _is_null_day(e["path"]):
                 out.append(e["path"])
     return out
 
@@ -145,13 +172,25 @@ def refresh_rollups(src: LakeTable, dst_root: str) -> dict:
     # O(all-history) re-aggregation; it also REMOVES folded delta leaves
     # from live metadata, which is why the state keeps the union of every
     # leaf ever seen instead of comparing live sets.
+    # Payload-less deletes (NULL event time) land in the hive default
+    # partition — their tombstones can kill a row in ANY day, so a new
+    # NULL-day delta leaf re-derives EVERY closed day (found by the
+    # rollup property soak: a NULL-ts delete otherwise left the victim
+    # day's published rollup stale forever — GDPR-hostile). The cost is
+    # O(closed days) once per new NULL-day leaf set; deletes that carry
+    # the victim's image (and ts) keep restating only their own day.
+    _NULL_KEY = "__no_day__"
+    null_now = sorted(_null_day_delta_leaves(src))
+    null_seen = set(state.get(_NULL_KEY, []))
+    null_new = any(l not in null_seen for l in null_now)
+
     need: list[str] = []
     leaves_now: dict[str, list[str]] = {}
     for day in sorted(closed):
         deltas = sorted(_delta_leaves_for_day(src, day))
         seen = set(state.get(day, []))
         leaves_now[day] = sorted(seen | set(deltas))
-        if day not in state or any(l not in seen for l in deltas):
+        if day not in state or any(l not in seen for l in deltas) or null_new:
             need.append(day)
     restated = [d for d in need if d in state]
     if not need:
@@ -200,6 +239,7 @@ def refresh_rollups(src: LakeTable, dst_root: str) -> dict:
 
     # state last: a crash above simply redoes these days next run
     state.update({d: leaves_now[d] for d in need})
+    state[_NULL_KEY] = sorted(null_seen | set(null_now))
     _atomic_write_text(os.path.join(dst_root, STATE_FILE), json.dumps(state, indent=1))
     return {
         "days": need,

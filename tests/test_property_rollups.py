@@ -42,15 +42,22 @@ from etl_spark.rollups import refresh_rollups  # noqa: E402
 # crosses the 2025-02 month boundary AND two ISO week boundaries
 _DAYS = [dt.date(2025, 1, 28) + dt.timedelta(days=i) for i in range(7)]
 _KEYS = [("a", 0), ("a", 1), ("b", 0), ("c", 3)]
+# Event-time STABILITY contract (rollups.py module doc): a key's ts never
+# moves across days once written — pruned day reads fold only their own
+# partitions. Day is therefore a FUNCTION OF THE KEY here (spread over
+# both week and month boundaries); what the fuzz varies is the delete's
+# ts: payload-less (NULL, → hive default partition, must re-derive every
+# closed day) vs image-carrying (the key's own day).
+_KEY_DAY = [0, 4, 2, 6]  # key idx -> day idx: Jan 28, Feb 1, Jan 30, Feb 3
 _TEXTS = [None, "", "xy", "longer text payload"]
 _TOOLS = [None, "tool_01"]
 _FAR = dt.datetime(2026, 1, 1)
 
-# (op, key idx, event-day idx, text idx, tool idx)
+# (op, key idx, delete-carries-ts, text idx, tool idx)
 _row = st.tuples(
     st.sampled_from(["I", "U", "D"]),
     st.integers(min_value=0, max_value=len(_KEYS) - 1),
-    st.integers(min_value=0, max_value=len(_DAYS) - 1),
+    st.booleans(),
     st.integers(min_value=0, max_value=len(_TEXTS) - 1),
     st.integers(min_value=0, max_value=len(_TOOLS) - 1),
 )
@@ -109,15 +116,19 @@ def _published(spark, dst, grain, col):
 )
 # refresh before anything closes, then close+refresh — state must start
 # empty and the late first publication must still be complete
-@example([([("I", 0, 0, 2, 1)], None, True, False),
-          ([("U", 1, 1, 3, 0)], 6, True, False)])
+@example([([("I", 0, True, 2, 1)], None, True, False),
+          ([("U", 1, True, 3, 0)], 6, True, False)])
 # restatement: close+refresh day 0, then late data into day 0 with a
 # compaction straddling the re-derive
-@example([([("I", 0, 0, 2, 0)], 0, True, False),
-          ([("U", 0, 0, 3, 1)], None, True, True)])
-# delete erases a published day back to zero across a refresh boundary
-@example([([("I", 2, 2, 2, 0)], 2, True, False),
-          ([("D", 2, 2, 0, 0)], None, False, False)])
+@example([([("I", 0, True, 2, 0)], 0, True, False),
+          ([("U", 0, True, 3, 1)], None, True, True)])
+# PAYLOAD-LESS delete (NULL ts → hive default partition) erases a
+# published day back to zero — the stale-forever bug this soak found
+@example([([("I", 2, True, 2, 0)], 2, True, False),
+          ([("D", 2, False, 0, 0)], None, False, False)])
+# image-carrying delete (victim's own ts) across a refresh boundary
+@example([([("I", 1, True, 2, 0)], 4, True, False),
+          ([("D", 1, True, 0, 0)], None, True, False)])
 @given(_scenario)
 def test_rollup_interleavings_match_full_recompute(
     spark, tmp_path_factory, scenario
@@ -132,10 +143,12 @@ def test_rollup_interleavings_match_full_recompute(
         scenario
     ):
         batch = []
-        for op, ki, di, xi, ti in rows:
+        for op, ki, keep_ts, xi, ti in rows:
             lsn += 1
             conv, turn = _KEYS[ki]
-            ts = dt.datetime.combine(_DAYS[di], dt.time(12, 0, 0))
+            ts = dt.datetime.combine(_DAYS[_KEY_DAY[ki]], dt.time(12, 0, 0))
+            if op == "D" and not keep_ts:
+                ts = None  # payload-less delete → NULL-day partition
             text = None if op == "D" else _TEXTS[xi]
             tool = None if op == "D" else _TOOLS[ti]
             batch.append(

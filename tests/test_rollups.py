@@ -175,3 +175,43 @@ def test_weekly_excludes_open_days(spark, tmp_path):
     # weekly row must cover exactly the one closed day
     assert int(weekly.n_turns.sum()) == int(daily.n_turns.sum())
     assert int(weekly.total_chars.sum()) == int(daily.total_chars.sum())
+
+
+def test_payload_less_delete_restates_closed_days(spark, tmp_path):
+    """A NULL-ts (payload-less) delete lands in the hive default
+    partition — no day leaf changes, so neither restatements() nor the
+    rollup state used to notice, and the victim day's published rollup
+    stayed stale FOREVER (GDPR-hostile; found by the rollup property
+    soak). A new NULL-day delta leaf must now re-derive every closed
+    day, exactly once."""
+    import datetime as dt
+
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+    from etl_spark.cdc.partitions import restatements
+
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=4)
+    t = eng.table
+    dst = str(tmp_path / "rollups")
+    rows = [
+        ("I", "k", 0, "user", "hello", None,
+         dt.datetime(2025, 1, 28, 12), dt.datetime(2025, 3, 1), 1),
+        ("I", "m", 0, "user", "bye", None,
+         dt.datetime(2025, 1, 29, 12), dt.datetime(2025, 3, 1), 2),
+    ]
+    apply_batch(t, spark.createDataFrame(rows, schema=CHANGE_SCHEMA), epoch=0)
+    close_due_partitions(t, now=dt.datetime(2026, 1, 1))
+    assert refresh_rollups(t, dst)["days"] == ["2025-01-28", "2025-01-29"]
+
+    apply_batch(t, spark.createDataFrame(
+        [("D", "k", 0, None, None, None, None, dt.datetime(2025, 3, 2), 3)],
+        schema=CHANGE_SCHEMA), epoch=1)
+    t.refresh()
+    # the metadata sensor flags EVERY closed day for the NULL-day leaf
+    assert {r["day"] for r in restatements(t)} == {"2025-01-28", "2025-01-29"}
+    res = refresh_rollups(t, dst)
+    assert res["restated"] == ["2025-01-28", "2025-01-29"]
+    got = {str(r.day_): r.n_turns
+           for r in spark.read.parquet(dst + "/daily").collect()}
+    assert got == {"2025-01-28": 0, "2025-01-29": 1}  # victim day zeroed
+    # exactly once: the consumed NULL-day leaf doesn't re-trigger
+    assert refresh_rollups(t, dst)["days"] == []
