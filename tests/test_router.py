@@ -419,3 +419,60 @@ def test_late_loser_after_lazy_table_creation_stream(spark, tmp_path):
     assert [(r.conv_id, r.turn_idx, r.text) for r in rows["assistant"]] == \
         [("a", 0, "win")]
     assert rows.get("user", []) == []
+
+
+def test_stream_restart_does_not_rebackfill_established_tables(spark, tmp_path):
+    """On a checkpoint restart the in-memory table map resets, so every
+    on-disk destination looks 'newly discovered'. The backfill must run
+    only for tables with no commits under either fence — an established
+    table re-replaying the whole log on every restart would turn routine
+    restarts into O(history) write storms. A value first sighted AFTER
+    the restart still backfills."""
+    import datetime as dt
+    import os
+
+    from etl_spark.cdc.engine import CHANGE_SCHEMA, fencing_namespace
+    from etl_spark.cdc.router import stream_route
+    from etl_spark.lake.table import LakeTable
+
+    T = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    base = str(tmp_path / "routed")
+
+    def _write(i, rows):
+        spark.createDataFrame(rows, schema=CHANGE_SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(log, f"epoch={i:05d}"))
+
+    _write(0, [("I", "a", 0, "user", "u0", None, T(0), T(1), 1)])
+    q = stream_route(spark, log, base, ckpt, route_col="role", num_buckets=4,
+                     max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # second run over the same checkpoint: new file with a NEW value and
+    # a late loser for the established table's key
+    _write(1, [("I", "b", 0, "assistant", "a0", None, T(0), T(2), 2),
+               ("U", "a", 0, "user", "late-loser", None, T(0), T(0), 3)])
+    q = stream_route(spark, log, base, ckpt, route_col="role", num_buckets=4,
+                     max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    source = fencing_namespace(ckpt, "router")
+    user = LakeTable(spark, os.path.join(base, "user"))
+    assistant = LakeTable(spark, os.path.join(base, "assistant"))
+    # established table: stream commits, NO backfill commit after restart
+    assert user.committed_epoch(source) >= 0
+    assert user.committed_epoch(f"{source}_backfill") == -1
+    # mid-stream (post-restart) discovery: backfilled exactly once
+    assert assistant.committed_epoch(f"{source}_backfill") >= 0
+    # content converged: late loser lost, each key in its own table
+    assert {(r.conv_id, r.text) for r in user.snapshot_df().collect()} == \
+        {("a", "u0")}
+    assert {(r.conv_id, r.text) for r in assistant.snapshot_df().collect()} == \
+        {("b", "a0")}
