@@ -138,6 +138,19 @@ def _is_null_day(entry_path: str) -> bool:
     return "_day=__HIVE_DEFAULT_PARTITION__" in entry_path
 
 
+def _null_day_delta_leaves_ever(table: LakeTable) -> set[str]:
+    """Every NULL-day DELTA leaf ever committed: the monotone
+    ``null_day_delta_log`` (written at commit time, survives compaction
+    folding the leaf out of live metadata) union the live scan (tables
+    whose metadata predates the log field)."""
+    out = set(table._meta.get("null_day_delta_log", []))
+    for slot in table._meta["files"].values():
+        for e in slot["deltas"]:
+            if _is_null_day(e["path"]):
+                out.add(e["path"])
+    return out
+
+
 def _leaves_for_day(table: LakeTable, day: str) -> list[str]:
     out = []
     for slot in table._meta["files"].values():
@@ -147,7 +160,11 @@ def _leaves_for_day(table: LakeTable, day: str) -> list[str]:
                 # can affect any day, so a PRE-existing one must not read
                 # as new data after the close
                 out.append(e["path"])
-    return out
+    # PRE-existing NULL-day leaves already folded away by compaction must
+    # also not read as new data after the close — baseline from the
+    # monotone log, not just live metadata
+    out.extend(_null_day_delta_leaves_ever(table))
+    return sorted(set(out))
 
 
 def restatements(table: LakeTable) -> list[dict]:
@@ -165,7 +182,14 @@ def restatements(table: LakeTable) -> list[dict]:
     without this, a NULL-ts delete left the victim day's published
     rollup stale forever (found by the rollup property soak). Deletes
     that carry the victim's image (and therefore its ts) keep restating
-    only their own day; emit those when wide re-derives matter."""
+    only their own day; emit those when wide re-derives matter.
+
+    NULL-day detection walks the monotone commit-time log
+    (``_null_day_delta_leaves_ever``), not just live metadata: a NULL-day
+    leaf folded away by auto-compaction between two polls would otherwise
+    vanish from this report while its tombstones silently restate closed
+    days. Leaves present at close time sit in the close baseline and stay
+    excluded either way."""
     closed = closed_partitions(table)
     out = []
     for slot in table._meta["files"].values():
@@ -173,8 +197,8 @@ def restatements(table: LakeTable) -> list[dict]:
             d = _day_of(e["path"])
             if d and d in closed and e["path"] not in set(closed[d].get("leaves", [])):
                 out.append({"day": d, "leaf": e["path"], "closed": closed[d]})
-            elif d is None and _is_null_day(e["path"]):
-                for day, mark in closed.items():
-                    if e["path"] not in set(mark.get("leaves", [])):
-                        out.append({"day": day, "leaf": e["path"], "closed": mark})
+    for path in sorted(_null_day_delta_leaves_ever(table)):
+        for day, mark in closed.items():
+            if path not in set(mark.get("leaves", [])):
+                out.append({"day": day, "leaf": path, "closed": mark})
     return sorted(out, key=lambda r: (r["day"], r["leaf"]))

@@ -116,12 +116,25 @@ def sync_replica(src: LakeTable, dst: LakeTable) -> SyncStats:
         for s in src.snapshots()
         if s.get("kind") == "expunge" and "before_op_ts" in s
     ]
+    stamp = None
     if horizons:
-        stamp_ts = max(
-            dt.datetime.fromisoformat(h) for h in horizons
-        ) - dt.timedelta(microseconds=1)
-        stamp = F.lit(stamp_ts).cast("timestamp")
-    else:
+        # The horizon strings are whatever expunge_tombstones was handed
+        # (Spark's to_timestamp is laxer than fromisoformat), and distinct
+        # expunge snapshots may mix naive and tz-aware stamps. A sync must
+        # DEGRADE to the watermark stamp on any parse trouble, never crash
+        # — otherwise one odd horizon string bricks replication forever.
+        try:
+            parsed = []
+            for h in horizons:
+                d = dt.datetime.fromisoformat(str(h))
+                if d.tzinfo is not None:
+                    d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+                parsed.append(d)
+            stamp_ts = max(parsed) - dt.timedelta(microseconds=1)
+            stamp = F.lit(stamp_ts).cast("timestamp")
+        except (ValueError, TypeError):
+            stamp = None
+    if stamp is None:
         wm = src.watermark_any()
         stamp = (
             F.to_timestamp(F.lit(wm)) if wm else F.lit(None).cast("timestamp")

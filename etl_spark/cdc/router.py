@@ -353,6 +353,8 @@ def stream_route(
     either fence), so a stream restart doesn't re-replay the log into
     established tables.
     """
+    import os
+
     from .engine import CHANGE_SCHEMA, CdcEngine, fencing_namespace
 
     source = fencing_namespace(checkpoint_dir, "router")
@@ -391,10 +393,38 @@ def stream_route(
                 .option("recursiveFileLookup", "true")
                 .parquet(change_log_dir)
             )
+            rest_known = list(tables)
+            if fresh_rest is not None:
+                # The rest backfill's "routed elsewhere" set must come
+                # from PERSISTENT state, not the in-memory dict: after a
+                # stream restart, established destinations whose values
+                # haven't recurred yet are absent from `tables`, and the
+                # whole-log prior also carries not-yet-sighted FUTURE
+                # values — either would land historical rows in the rest
+                # table as live images that (their source batches being
+                # already processed, and stable mode writing no
+                # cross-table tombstones) are never tombstoned, silently
+                # breaking union-equals-spine. Known = in-memory tables
+                # ∪ existing table directories under base_path ∪ every
+                # safe value anywhere in the prior log (each WILL get its
+                # own table on first sight).
+                known = set(tables)
+                try:
+                    for d in os.listdir(base_path):
+                        if (
+                            d != rest_name
+                            and _safe_route_value(d)
+                            and os.path.isdir(os.path.join(base_path, d, "_meta"))
+                        ):
+                            known.add(d)
+                except FileNotFoundError:
+                    pass
+                known.update(discover_routes(prior, route_col)[0])
+                rest_known = sorted(known)
             route_batch(
                 fresh, prior, int(batch_id), route_col=route_col,
                 source=bf_source, stable_routes=stable_routes,
-                rest=fresh_rest, rest_known=list(tables),
+                rest=fresh_rest, rest_known=rest_known,
             )
         route_batch(
             tables, batch_df, int(batch_id), route_col=route_col,

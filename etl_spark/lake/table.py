@@ -940,6 +940,7 @@ class LakeTable:
         meta = json.loads(json.dumps(self._meta))
         sid = meta["current_snapshot_id"] + 1
         self._prefetch_commit_stats(delta_rel_path, dirty_buckets)
+        null_day_leaves: list[str] = []
         for b in dirty_buckets:
             bdir = os.path.join(self.path, delta_rel_path, f"_bucket={int(b)}")
             if not os.path.isdir(bdir):
@@ -947,7 +948,24 @@ class LakeTable:
                 # would make every later read fail on a missing path
                 continue
             slot = meta["files"].setdefault(str(int(b)), {"base": None, "deltas": []})
-            slot["deltas"].extend(self._leaf_entries(delta_rel_path, b, sv))
+            entries = self._leaf_entries(delta_rel_path, b, sv)
+            slot["deltas"].extend(entries)
+            null_day_leaves.extend(
+                e["path"] for e in entries
+                if "_day=__HIVE_DEFAULT_PARTITION__" in e["path"]
+            )
+        if null_day_leaves:
+            # Monotone record of every NULL-day delta leaf EVER committed.
+            # Live metadata loses folded delta leaves to compaction/expunge,
+            # but a NULL-day leaf holds payload-less deletes that can
+            # tombstone a row in ANY day — restatement detection (rollups,
+            # partitions.restatements) must diff against leaves ever
+            # created, not leaves currently live, or a delete compacted
+            # away between two refreshes leaves closed-day rollups stale
+            # forever. Growth is bounded by the number of delta commits
+            # that carry NULL-ts deletes (path strings only).
+            log = meta.setdefault("null_day_delta_log", [])
+            log.extend(p for p in null_day_leaves if p not in set(log))
         meta["snapshots"].append(
             {
                 "snapshot_id": sid,

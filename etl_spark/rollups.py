@@ -80,15 +80,24 @@ def _delta_leaves_for_day(table: LakeTable, day: str) -> list[str]:
 
 def _null_day_delta_leaves(table: LakeTable) -> list[str]:
     """Delta leaves in the hive default partition — payload-less deletes
-    (NULL event time), which can tombstone a row in ANY day."""
+    (NULL event time), which can tombstone a row in ANY day.
+
+    Union of LIVE leaves and the table's monotone ``null_day_delta_log``
+    (recorded at commit time, lake/table.py): auto-compaction removes
+    folded delta leaves from live metadata, so a NULL-day leaf compacted
+    between two refresh_rollups runs would otherwise never be seen and
+    every affected closed-day rollup would stay stale — the exact
+    GDPR-staleness bug the NULL-day branch exists to prevent. The live
+    scan stays as a belt-and-braces union for tables whose metadata
+    predates the log field."""
     from .cdc.partitions import _is_null_day
 
-    out = []
+    out = set(table._meta.get("null_day_delta_log", []))
     for slot in table._meta["files"].values():
         for e in slot["deltas"]:
             if _is_null_day(e["path"]):
-                out.append(e["path"])
-    return out
+                out.add(e["path"])
+    return sorted(out)
 
 
 def _week_start(day: dt.date) -> dt.date:

@@ -215,3 +215,66 @@ def test_payload_less_delete_restates_closed_days(spark, tmp_path):
     assert got == {"2025-01-28": 0, "2025-01-29": 1}  # victim day zeroed
     # exactly once: the consumed NULL-day leaf doesn't re-trigger
     assert refresh_rollups(t, dst)["days"] == []
+
+def test_payload_less_delete_survives_compaction(spark, tmp_path):
+    """ADVICE r4: null_new used to be computed from LIVE NULL-day delta
+    leaves only, but compaction removes folded delta leaves from live
+    metadata — a payload-less delete compacted between two refreshes was
+    never detected and the victim day's rollup stayed stale forever.
+    Detection now diffs against the monotone commit-time
+    ``null_day_delta_log``, which compaction cannot erase."""
+    import datetime as dt
+
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+    from etl_spark.cdc.partitions import restatements
+
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=2)
+    t = eng.table
+    dst = str(tmp_path / "rollups")
+    rows = [
+        ("I", "k", 0, "user", "hello", None,
+         dt.datetime(2025, 1, 28, 12), dt.datetime(2025, 3, 1), 1),
+        ("I", "m", 0, "user", "bye", None,
+         dt.datetime(2025, 1, 29, 12), dt.datetime(2025, 3, 1), 2),
+    ]
+    apply_batch(t, spark.createDataFrame(rows, schema=CHANGE_SCHEMA), epoch=0)
+    close_due_partitions(t, now=dt.datetime(2026, 1, 1))
+    assert refresh_rollups(t, dst)["days"] == ["2025-01-28", "2025-01-29"]
+
+    apply_batch(t, spark.createDataFrame(
+        [("D", "k", 0, None, None, None, None, dt.datetime(2025, 3, 2), 3)],
+        schema=CHANGE_SCHEMA), epoch=1)
+    # fold the NULL-day delta leaf into a base BEFORE any refresh sees it
+    t.refresh()
+    t.compact(list(range(t.num_buckets)))
+    t.refresh()
+    live_null = [
+        e["path"] for slot in t._meta["files"].values() for e in slot["deltas"]
+        if "_day=__HIVE_DEFAULT_PARTITION__" in e["path"]
+    ]
+    assert live_null == [], "precondition: compaction folded the NULL-day leaf"
+    # the metadata sensor still flags every closed day (monotone log)
+    assert {r["day"] for r in restatements(t)} == {"2025-01-28", "2025-01-29"}
+    res = refresh_rollups(t, dst)
+    assert res["restated"] == ["2025-01-28", "2025-01-29"]
+    got = {str(r.day_): r.n_turns
+           for r in spark.read.parquet(dst + "/daily").collect()}
+    assert got == {"2025-01-28": 0, "2025-01-29": 1}  # victim day zeroed
+    # exactly once, and the log keeps the folded leaf without re-triggering
+    assert refresh_rollups(t, dst)["days"] == []
+
+    # a day closed AFTER the fold must carry the folded leaf in its close
+    # baseline: a later insert into a new day, closed now, restates only
+    # via its OWN leaves — the historical NULL leaf is not "new" to it
+    apply_batch(t, spark.createDataFrame(
+        [("I", "z", 0, "user", "late", None,
+          dt.datetime(2025, 2, 10, 12), dt.datetime(2025, 3, 3), 4)],
+        schema=CHANGE_SCHEMA), epoch=2)
+    t.refresh()
+    close_due_partitions(t, now=dt.datetime(2026, 1, 2))
+    # the advisory report keeps flagging the folded leaf against days
+    # closed BEFORE it existed (stateless metadata diff — consumers keep
+    # their own seen-set, as refresh_rollups does), but the day closed
+    # AFTER the fold carries the leaf in its baseline and is NOT flagged
+    assert {r["day"] for r in restatements(t)} == {"2025-01-28", "2025-01-29"}
+    assert refresh_rollups(t, dst)["days"] == ["2025-02-10"]

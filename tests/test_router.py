@@ -476,3 +476,98 @@ def test_stream_restart_does_not_rebackfill_established_tables(spark, tmp_path):
         {("a", "u0")}
     assert {(r.conv_id, r.text) for r in assistant.snapshot_df().collect()} == \
         {("b", "a0")}
+
+def test_stream_restart_rest_backfill_respects_established_tables(spark, tmp_path):
+    """ADVICE r4 (router.py): the rest-table backfill used to derive its
+    'routed elsewhere' set from the IN-MEMORY table dict. After a stream
+    restart that dict is empty, so a rest table created post-restart
+    backfilled the whole log with known=[] — historical rows of
+    established destinations landed in the rest table as live images
+    whose source batches were already processed, so nothing ever
+    tombstoned them: union != spine. Known must come from persistent
+    state (existing table directories)."""
+    import datetime as dt
+    import os
+
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+    from etl_spark.cdc.router import stream_route
+    from etl_spark.lake.table import LakeTable
+
+    T = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    base = str(tmp_path / "routed")
+
+    def _write(i, rows):
+        spark.createDataFrame(rows, schema=CHANGE_SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(log, f"epoch={i:05d}"))
+
+    _write(0, [("I", "a", 0, "user", "u0", None, T(0), T(1), 1)])
+    q = stream_route(spark, log, base, ckpt, route_col="role", num_buckets=4,
+                     max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart: the only new file is a NULL-route row, so the in-memory
+    # dict never re-learns 'user' before the rest table's creation
+    _write(1, [("I", "n", 0, None, "norole", None, T(5), T(6), 2)])
+    q = stream_route(spark, log, base, ckpt, route_col="role", num_buckets=4,
+                     max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rest = LakeTable(spark, os.path.join(base, "__rest__"))
+    assert {(r.conv_id, r.text) for r in rest.snapshot_df().collect()} == \
+        {("n", "norole")}
+    user = LakeTable(spark, os.path.join(base, "user"))
+    assert {(r.conv_id, r.text) for r in user.snapshot_df().collect()} == \
+        {("a", "u0")}
+
+
+def test_stream_rest_backfill_excludes_future_values_stable_mode(spark, tmp_path):
+    """ADVICE r4 (router.py), second leg: the whole-log prior read at
+    rest-creation time contains NOT-YET-SIGHTED future route values.
+    Under stable_routes=True the rest table never receives cross-table
+    tombstones, so those images stayed in the rest table forever while
+    the value's own table (created later, with its own backfill) also
+    held them — the key appeared twice across the union. Every safe
+    value anywhere in the log must count as 'routed elsewhere'."""
+    import datetime as dt
+    import os
+
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+    from etl_spark.cdc.router import stream_route
+    from etl_spark.lake.table import LakeTable
+
+    T = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)
+    log = str(tmp_path / "log")
+    base = str(tmp_path / "routed")
+
+    def _write(i, rows):
+        spark.createDataFrame(rows, schema=CHANGE_SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(log, f"epoch={i:05d}"))
+
+    _write(0, [("I", "a", 0, "user", "u0", None, T(0), T(1), 1)])
+    _write(1, [("I", "n", 0, None, "norole", None, T(5), T(6), 2)])
+    _write(2, [("I", "b", 0, "assistant", "a0", None, T(8), T(9), 3)])
+
+    q = stream_route(spark, log, base, str(tmp_path / "ckpt"),
+                     route_col="role", num_buckets=4, max_files_per_trigger=1,
+                     stable_routes=True)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        v: {(r.conv_id, r.text)
+            for r in LakeTable(spark, os.path.join(base, v)).snapshot_df().collect()}
+        for v in sorted(os.listdir(base))
+    }
+    assert rows["__rest__"] == {("n", "norole")}
+    assert rows["user"] == {("a", "u0")}
+    assert rows["assistant"] == {("b", "a0")}
