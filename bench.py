@@ -21,7 +21,9 @@ second pass runs warm, consistent with the replay's untimed warm-up.
 Prints exactly ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {"cdc_replay": sec, "<qname>": sec, ...}, "sf": ...,
-   "cdc": {"events": N, "events_per_s": ..., "epochs": ...}}
+   "cdc": {"events": N, "events_per_s": ..., "epochs": ...},
+   "host_health": {"start": {...}, "end": {...}},   # memcpy GB/s + loadavg
+   "spread": {"<qname>": [rep1_s, rep2_s, ...]}}    # every rep, not just min
 
 Scaling-efficiency evidence (local[8] vs local[32]) lives in
 ``scripts/scaling.py`` (subprocess per parallelism level); results are
@@ -44,6 +46,36 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def _host_health() -> dict:
+    """One host-regime reading: the declared 200 MB single-core memcpy
+    probe (scripts/health_gate.py — >=5 GB/s is the healthy-window floor
+    used by the scaling protocol since round 4) plus 1/5/15-min loadavg.
+    Embedded in the bench JSON so a reader can tell an engine regression
+    from a degraded-host window WITHOUT forensics against BASELINE.md:
+    round 4's 17-entry sub-second noise cluster was only explainable
+    after the fact because the artifact carried no health signal."""
+    import importlib.util
+
+    out: dict = {}
+    try:
+        hg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "scripts", "health_gate.py")
+        spec = importlib.util.spec_from_file_location("health_gate", hg_path)
+        hg = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(hg)
+        p = hg.probe()
+        out["memcpy_gb_s"] = p["steady_state_gb_s"]
+        out["memcpy_samples_gb_s"] = p["samples_gb_s"]
+        out["healthy"] = p["steady_state_gb_s"] >= 5.0
+    except Exception as exc:  # a broken probe must never fail the bench
+        out["probe_error"] = f"{type(exc).__name__}: {exc}"
+    try:
+        out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_from_dir(sf_dir)
@@ -57,6 +89,8 @@ def main() -> int:
     from etl_spark.queries import QUERIES
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}  # every rep, not just the min
+    health = {"start": _host_health()}
     work = tempfile.mkdtemp(prefix="etl_spark_bench_")
     try:
         # -- 1. CDC replay (untimed generation, timed apply) -------------
@@ -83,11 +117,13 @@ def main() -> int:
         # the co-tenant (operator queries below stay min-of-2 — same
         # protection, 57x cheaper to buy)
         replay_s, results, eng = None, None, None
+        spread["cdc_replay"] = []
         for rep in range(3):
             e = CdcEngine(spark, os.path.join(work, f"table{rep}"), num_buckets=32)
             t0 = time.time()
             r = e.replay(log_dir)
             dt = time.time() - t0
+            spread["cdc_replay"].append(round(dt, 3))
             if replay_s is None or dt < replay_s:
                 replay_s, results, eng = dt, r, e
         timings["cdc_replay"] = round(replay_s, 3)
@@ -102,15 +138,18 @@ def main() -> int:
         # -- 2. operator-coverage query suite (min-of-2 each) -------------
         for name in sorted(QUERIES):
             best = None
+            spread[name] = []
             for _rep in range(2):
                 t0 = time.time()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
+                spread[name].append(round(dt, 3))
                 best = dt if best is None or dt < best else best
             timings[name] = round(best, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    health["end"] = _host_health()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_sec (cdc replay + operator query suite)",
@@ -119,6 +158,13 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "cdc": cdc_stats,
+        # self-interpreting artifact (round-5 verdict item 1): the host
+        # regime at start/end plus every entry's full rep list — a
+        # reader separates engine regressions (min moved, healthy probe)
+        # from host noise (wide spread / failing probe) from the
+        # artifact alone
+        "host_health": health,
+        "spread": spread,
     }))
     return 0
 

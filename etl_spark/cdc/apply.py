@@ -138,11 +138,8 @@ def resolve_dedup_strategy(
         )
     if strategy != "auto":
         return strategy
-    try:
-        est = int(
-            changes._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
+    est = plan_size_bytes(changes)
+    if est is None:
         return "narrow-sh"
     if est < (AUTO_NARROW_MIN_BYTES if min_bytes is None else min_bytes):
         return "fused"
@@ -155,6 +152,25 @@ def resolve_dedup_strategy(
     est_keys = est_rows * ratio
     cap = AUTO_BCAST_MAX_KEYS if max_bcast_keys is None else max_bcast_keys
     return "narrow" if est_keys <= cap else "narrow-sh"
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for ``df`` (exact input bytes for a
+    file-backed batch), or None when unavailable.
+
+    Reaches through PySpark's PRIVATE ``_jdf.queryExecution()`` surface —
+    there is no public PySpark API for plan statistics. A Spark upgrade
+    that moves this surface does not break correctness (every ``auto``
+    dispatch silently degrades to the scale-safe ``narrow-sh``), but it
+    DOES silently lose the measured small-epoch fast paths, so
+    tests/test_cdc_core.py carries a version canary that fails loudly if
+    this returns None on the running Spark — on upgrade, re-point the
+    probe (queryExecution/optimizedPlan/stats/sizeInBytes renames) rather
+    than deleting the canary."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
 
 
 def _statically_empty(df: DataFrame) -> bool:

@@ -23,7 +23,13 @@ Two physical strategies:
   Window functions get NO help from AQE skew handling; the salt bounds the
   largest sort partition.
 
-Both return exactly one row per key with columns: key + payload + (op_ts, lsn, op).
+Every strategy returns exactly one row per key (key + payload +
+(op_ts, lsn, op)) BY DEFAULT — including on corrupt input where rows tie
+on the full (op_ts, lsn) order with differing payloads, which every
+strategy resolves to the same lexicographic-max winner (the narrow/join
+strategies expose ``exact_ties=False`` to opt out of the tie collapse
+when the caller prefers a cheaper verbatim-only dedup and read-time
+re-resolution).
 """
 
 from __future__ import annotations
@@ -91,6 +97,7 @@ def lww_dedup_join(
     key: list[str] | None = None,
     order: list[str] | None = None,
     extra_aggs: dict[str, "F.Column"] | None = None,
+    exact_ties: bool = True,
 ) -> DataFrame:
     """One winner per key — hash-only two-phase strategy (no sorts).
 
@@ -134,10 +141,27 @@ def lww_dedup_join(
     joined = packed.join(wins.hint("shuffle_hash"), key, "inner").where(
         F.col("_ord") == F.col("_win")
     )
-    # verbatim duplicates: bit-identical rows — dedup on ALL columns, which
-    # is a pure-grouping HashAggregate (a subset-dropDuplicates would add
-    # First() buffers over strings and fall back to SortAggregate)
-    return joined.drop("_ord", "_win").dropDuplicates()
+    out = joined.drop("_ord", "_win")
+    if exact_ties:
+        # strict one-row-per-key default (same contract as lww_dedup_narrow):
+        # lexicographic max-struct over the winner rows resolves corrupt
+        # (op_ts, lsn)-tied payload variants identically to lww_dedup
+        payload = [c for c in changes.columns if c not in key]
+        extras = list(extra_aggs or {})
+        non_key = (
+            order + [c for c in payload if c not in order and c not in extras]
+            + extras
+        )
+        return (
+            out.groupBy(*key)
+            .agg(F.max(F.struct(*[F.col(c) for c in non_key])).alias("_w"))
+            .select(*key, *[F.col(f"_w.{c}").alias(c) for c in non_key])
+        )
+    # opt-out: verbatim duplicates only — dedup on ALL columns, which is a
+    # pure-grouping HashAggregate (a subset-dropDuplicates would add
+    # First() buffers over strings and fall back to SortAggregate); tied
+    # corrupt variants all survive
+    return out.dropDuplicates()
 
 
 def lww_dedup_narrow(
@@ -147,7 +171,7 @@ def lww_dedup_narrow(
     extra_aggs: dict[str, "F.Column"] | None = None,
     winners_join: str = "broadcast",
     observe: tuple | None = None,
-    exact_ties: bool = False,
+    exact_ties: bool = True,
 ) -> DataFrame:
     """One winner per key — two-scan, zero-wide-shuffle strategy.
 
@@ -187,21 +211,28 @@ def lww_dedup_narrow(
     aggregates are observed during the phase-1 scan and the broadcast
     stays at ``(key, _win)``, the smallest possible driver round-trip.
 
-    Tie contract (``exact_ties``): the default final collapse is a
-    pure-grouping ``dropDuplicates`` over ALL columns, which only merges
-    bit-identical re-sends. Rows that tie on the full (op_ts, lsn) order
-    but differ in payload are CORRUPT input under the WAL contract (an
-    lsn is a log sequence number — unique per key by construction), and
-    with the default the winners relation then keeps every tied variant
-    (>1 row per key; a read-time LWW fold re-resolves deterministically).
-    ``exact_ties=True`` instead collapses with the same lexicographic
-    max-struct as ``lww_dedup`` — exactly one row per key, byte-equal to
-    the agg strategy even on tied corrupt input — at the cost of a
-    var-length aggregation buffer (SortAggregate) over the winner rows
-    only. Under a ``shuffle_hash`` winners join the join output is
-    already partitioned by key, so the exact collapse reuses that
-    exchange; under ``broadcast`` it adds the same one winner shuffle
-    the default dropDuplicates pays anyway.
+    Tie contract (``exact_ties``, DEFAULT True): the final collapse is
+    the same lexicographic max-struct as ``lww_dedup`` — exactly one row
+    per key, byte-equal to the agg strategy even when rows tie on the
+    full (op_ts, lsn) order with DIFFERING payloads. Such rows are
+    CORRUPT input under the WAL contract (an lsn is a log sequence
+    number — unique per key by construction), but the strict contract
+    holds by default anyway so delta contents and ``winners`` lineage
+    never depend on which physical strategy the dispatcher picked
+    (round-5 hardening; reference analogue: the strict 3-level tie-break
+    in mod_load_data_get_data.sql:16). Cost: a var-length aggregation
+    buffer (SortAggregate) over the WINNER rows only — input is already
+    ~1 row per key. Under a ``shuffle_hash`` winners join the join
+    output is already partitioned by key, so the exact collapse reuses
+    that exchange; under ``broadcast`` it costs the same one winner
+    shuffle the opt-out dropDuplicates pays anyway (measured at the
+    16M-event/320k-key point, local[32], interleaved A/B min-of-3:
+    3.94 s opt-out vs 4.06 s strict — ~3%, inside the reps' overlap;
+    see BASELINE.md round-5 tie-contract note).
+    ``exact_ties=False`` opts out: a pure-grouping ``dropDuplicates``
+    over ALL columns that only merges bit-identical re-sends — tied
+    corrupt variants then ALL survive (>1 row per key) and a read-time
+    LWW fold re-resolves them deterministically.
     """
     key = key or KEY
     order = order or ORDER
@@ -273,10 +304,20 @@ def lww_dedup_window(
     Phase 1: row_number over (key, salt) keeps one candidate per salt
     bucket (each sort partition bounded to ~1/salt_buckets of the hottest
     key). Phase 2: re-rank the ≤salt_buckets candidates per key globally.
+
+    Tie contract: the sort order appends the payload columns DESC after
+    (op_ts, lsn), so corrupt input that ties on the full order with
+    differing payloads resolves to the SAME single lexicographic-max
+    winner as every other strategy (a bare row_number over the order
+    columns would pick an arbitrary tied variant per run). Spark's
+    ``desc`` is NULLS LAST, matching max-struct's null-is-smallest
+    field comparison; tied rows hash to the same salt (the salt keys on
+    the order columns), so both phases see every tied variant together.
     """
     key = key or KEY
     order = order or ORDER
-    desc = [F.col(c).desc() for c in order]
+    payload = [c for c in changes.columns if c not in key and c not in order]
+    desc = [F.col(c).desc() for c in order] + [F.col(c).desc() for c in payload]
     salted = changes.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt_buckets))
     )

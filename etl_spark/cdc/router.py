@@ -34,11 +34,16 @@ Semantics shared by both modes:
     fencing as any CDC apply — exactly-once PER TABLE; a crash between
     table applies resumes by re-running the epoch, where already-applied
     tables fence themselves into no-ops;
-  * there is deliberately NO cross-table atomicity (same as the
-    reference, whose per-event INSERTs are separate BigQuery jobs): a
-    reader joining two routed tables mid-replay can observe one at epoch
-    k and the other at k-1 — the lineage/committed_epoch surface makes
-    that visible.
+  * there is deliberately NO cross-table atomicity at apply time (same
+    as the reference, whose per-event INSERTs are separate BigQuery
+    jobs): a reader joining the LIVE routed tables mid-replay can
+    observe one at epoch k and the other at k-1. The skew is BOUNDED at
+    one epoch (epoch k lands everywhere before any table sees k+1) and
+    only spans a crash-to-resume window; readers who need cross-table
+    consistency use ``route_epochs.consistent_view`` — per-epoch
+    completion markers pin every table to the same completed epoch's
+    metadata versions, an atomic visibility flip over the per-table
+    commits (tested in test_router.py).
 
 Scale shape: one filtered apply per destination; the route predicate
 pushes to the parquet scan of the change batch (row-group skipping).
@@ -310,10 +315,20 @@ def route_replay(
                     rest=fresh_rest, rest_known=list(tables),
                 )
         history.append((epoch, path))
-        yield epoch, route_batch(
+        stats = route_batch(
             tables, changes, epoch, route_col=route_col,
             stable_routes=stable_routes, rest=rest,
         )
+        # every destination committed (or fenced) this epoch: publish the
+        # cross-table "epoch complete" marker — consumers who need a
+        # consistent multi-table view pin to it (route_epochs.consistent_view)
+        # instead of racing the per-table applies. A crash before this
+        # line leaves the marker unwritten; the resumed replay re-runs the
+        # epoch (per-table fencing no-ops) and writes it then.
+        from .route_epochs import mark_route_epoch
+
+        mark_route_epoch(base_path, "router", epoch, tables, rest=rest)
+        yield epoch, stats
 
 
 def stream_route(
@@ -429,6 +444,13 @@ def stream_route(
         route_batch(
             tables, batch_df, int(batch_id), route_col=route_col,
             source=source, stable_routes=stable_routes, rest=rest_box[0],
+        )
+        # cross-table "epoch complete" marker (see route_replay): written
+        # only after every destination committed/fenced this batch
+        from .route_epochs import mark_route_epoch
+
+        mark_route_epoch(
+            base_path, source, int(batch_id), tables, rest=rest_box[0]
         )
 
     return (

@@ -97,6 +97,62 @@ class HttpMetadataStore(MetadataStore):
         self.retry_backoff_s = retry_backoff_s
         self.timeout_s = timeout_s
 
+    # -- store presets ---------------------------------------------------------
+
+    @classmethod
+    def for_gcs(
+        cls,
+        base_url: str,
+        auth_headers: dict[str, str] | None = None,
+        **kw,
+    ) -> "HttpMetadataStore":
+        """Google Cloud Storage preset: the create-if-absent spelling is
+        ``x-goog-if-generation-match: 0`` (412 on lost race).
+
+        ``base_url`` is the XML-API object prefix, e.g.
+        ``https://storage.googleapis.com/<bucket>/<table>/_meta``;
+        ``auth_headers`` carries ``{"Authorization": "Bearer <token>"}``
+        (OAuth2 access token — ``gcloud auth print-access-token``).
+        Certified against the conformance suite's reference server
+        (tests/test_metastore_http.py); certify a LIVE bucket with
+        ``python scripts/certify_metastore.py --preset gcs --url <...>``.
+        """
+        return cls(
+            base_url,
+            precondition_headers={"x-goog-if-generation-match": "0"},
+            extra_headers=auth_headers,
+            **kw,
+        )
+
+    @classmethod
+    def for_s3(
+        cls,
+        base_url: str,
+        auth_headers: dict[str, str] | None = None,
+        **kw,
+    ) -> "HttpMetadataStore":
+        """Amazon S3 preset: conditional writes via ``If-None-Match: *``
+        (supported on PUT since 2024; 412 on lost race).
+
+        SigV4 signing note: this client sends UNSIGNED requests — S3
+        requires every request signed with AWS Signature v4 over the
+        canonical headers, and the conditional header MUST be included
+        in the signed set. Use whichever fits the deployment: (a) an
+        s3-compatible endpoint that accepts bearer/static auth headers
+        passed via ``auth_headers`` (MinIO/Ceph RGW anonymous-write
+        test buckets, VPC-gated buckets with endpoint policies), or
+        (b) a local SigV4-signing proxy in front of this client — the
+        HTTP exchange this class is certified for is unchanged either
+        way. Certify the endpoint with
+        ``python scripts/certify_metastore.py --preset s3 --url <...>``.
+        """
+        return cls(
+            base_url,
+            precondition_headers={"If-None-Match": "*"},
+            extra_headers=auth_headers,
+            **kw,
+        )
+
     # -- low-level request ----------------------------------------------------
 
     def _url(self, name: str) -> str:

@@ -2248,18 +2248,38 @@ def _planted_pixels(L: int):
     return np.repeat(rows.astype(np.uint8), w * 3).reshape(h, w, 3)
 
 
+def _constant_pixels(L: int):
+    """Constant-gray planted image: dims as ``_planted_pixels``, every
+    pixel = L % 256. The load-bearing property: a CONSTANT 8x8 block has
+    only a DC coefficient (8*(c-128) after level shift, all AC zero),
+    and the quality-95 DC quantizer is 2 for both luma and chroma
+    (Annex-K tables scaled: floor((16*10+50)/100) = floor((17*10+50)/100)
+    = 2), which divides any 8*(c-128) — so even the LOSSY JPEG pipeline
+    reproduces the gray level bit-exactly and an analytic oracle can
+    check decoded VALUES, not tolerance booleans (verified over all 256
+    levels × both entropy coders in test + query gate)."""
+    import numpy as np
+
+    w, h = 4 + L % 29, 3 + L % 13
+    return np.full((h, w, 3), L % 256, dtype=np.uint8)
+
+
 def _media_from_docs(docs: DataFrame, encoder, mime: str, id_col: str,
-                     text_col: str, min_partitions: int = 0) -> DataFrame:
+                     text_col: str, min_partitions: int = 0,
+                     pixels=None) -> DataFrame:
     """``min_partitions`` matters for CPU-heavy encoders (JPEG): a small
     parquet reads as one split, which would serialize the Python-side
     codec work onto one core — repartitioning a narrow (id, text)
     projection before a CPU-bound Arrow stage is the standard trade
-    (one cheap shuffle buys full-cluster parallelism for the UDF)."""
+    (one cheap shuffle buys full-cluster parallelism for the UDF).
+    ``pixels`` overrides the planted-image formula (default
+    ``_planted_pixels``)."""
+    pixels = pixels or _planted_pixels
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                encoder(_planted_pixels(len(str(text).encode("utf-8"))))
+                encoder(pixels(len(str(text).encode("utf-8"))))
                 for text in pdf["text"]
             ]
             yield pd.DataFrame(
@@ -2308,6 +2328,22 @@ def jpeg_from_docs(docs: DataFrame, id_col: str = "doc_id",
     return _media_from_docs(
         docs, lambda px: enc(px, quality), "image/jpeg",
         id_col, text_col, min_partitions=min_partitions,
+    )
+
+
+def jpeg_const_from_docs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", quality: int = 95,
+                         min_partitions: int = 0,
+                         progressive: bool = False) -> DataFrame:
+    """Constant-gray JPEG fixture (``_constant_pixels``): the one planted
+    shape a LOSSY codec reproduces bit-exactly at quality 95, letting the
+    DuckDB oracle check decoded pixel VALUES instead of Spark-computed
+    tolerance booleans (round-5 media-gate independence)."""
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
+    return _media_from_docs(
+        docs, lambda px: enc(px, quality), "image/jpeg",
+        id_col, text_col, min_partitions=min_partitions,
+        pixels=_constant_pixels,
     )
 
 

@@ -632,6 +632,33 @@ def media_decode_jpeg_prog(spark, sf_dir):
     )
 
 
+# Lossy codec with EXACT oracle-computed values (round-5 verdict item 7):
+# the planted image is constant gray c = L % 256 — a constant 8x8 block
+# carries only a DC coefficient, and the q95 DC quantizer (2, luma and
+# chroma alike) divides 8*(c-128) exactly, so the decode reproduces c to
+# the last bit through the full lossy pipeline (DCT → quantize → Huffman
+# → decode). The DuckDB side computes the decoded VALUES itself; no
+# Spark-computed tolerance booleans anywhere in this entry.
+_MEDIA_DECODE_JPEG_CONST_ORACLE = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents)
+SELECT doc_id AS media_id,
+       CAST(4 + L % 29 AS INTEGER) AS width,
+       CAST(3 + L % 13 AS INTEGER) AS height,
+       CAST(L % 256 AS DOUBLE) AS mean_px,
+       CAST(L % 256 AS DOUBLE) AS top_row_mean
+FROM d
+"""
+
+
+@register("media_decode_jpeg_const", _MEDIA_DECODE_JPEG_CONST_ORACLE)
+def media_decode_jpeg_const(spark, sf_dir):
+    from .operators.multimodal import decode_jpeg_features, jpeg_const_from_docs
+
+    return decode_jpeg_features(jpeg_const_from_docs(
+        _t(spark, sf_dir, "documents"),
+        min_partitions=spark.sparkContext.defaultParallelism))
+
+
 @register("media_decode_jpeg", _MEDIA_DECODE_JPEG_ORACLE)
 def media_decode_jpeg(spark, sf_dir):
     from .operators.multimodal import decode_jpeg_features, jpeg_from_docs

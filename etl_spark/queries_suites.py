@@ -162,6 +162,12 @@ SUITE_SPECS: dict[str, tuple[dict, list]] = {
                                  {"media_id": "media_id", "width": "width",
                                   "height": "height",
                                   "prog_equals_seq": "prog_equals_seq"}),
+            # lossy codec, ORACLE-computed decoded values (constant-gray
+            # fixture is bit-exact at q95 — see media_decode_jpeg_const)
+            "decode_jpeg_const": ("media_decode_jpeg_const",
+                                  {"media_id": "media_id", "width": "width",
+                                   "height": "height", "mean_px": "mean_px",
+                                   "top_row_mean": "top_row_mean"}),
             "decode_mp4": ("media_decode_mp4",
                            {"media_id": "media_id", "width": "width",
                             "height": "height", "duration_s": "duration_s",

@@ -29,6 +29,27 @@ import time
 import numpy as np
 
 
+def probe(mb: int = 200, samples: int = 8) -> dict:
+    """One health reading under the declared protocol. Importable so
+    bench.py can embed the same probe in its JSON artifact (round-5
+    verdict item 1: self-interpreting bench output)."""
+    n = mb * 1024 * 1024
+    src = np.ones(n, dtype=np.uint8)
+    dst = np.empty(n, dtype=np.uint8)
+    rates = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        dt = time.perf_counter() - t0
+        rates.append(round(n / dt / 1e9, 2))
+    steady = sorted(rates[1:])[len(rates[1:]) // 2]  # median excluding sample 0
+    return {
+        "buffer_mb": mb,
+        "samples_gb_s": rates,
+        "steady_state_gb_s": steady,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--floor", type=float, default=5.0, help="GB/s floor")
@@ -36,22 +57,10 @@ def main() -> int:
     ap.add_argument("--mb", type=int, default=200, help="buffer size (declared: 200)")
     args = ap.parse_args()
 
-    n = args.mb * 1024 * 1024
-    src = np.ones(n, dtype=np.uint8)
-    dst = np.empty(n, dtype=np.uint8)
-    rates = []
-    for _ in range(args.samples):
-        t0 = time.perf_counter()
-        np.copyto(dst, src)
-        dt = time.perf_counter() - t0
-        rates.append(round(n / dt / 1e9, 2))
-    steady = sorted(rates[1:])[len(rates[1:]) // 2]  # median excluding sample 0
-    ok = steady >= args.floor
-    print(json.dumps({
-        "buffer_mb": args.mb, "samples_gb_s": rates,
-        "steady_state_gb_s": steady, "floor_gb_s": args.floor,
-        "gate": "PASS" if ok else "FAIL",
-    }))
+    out = probe(mb=args.mb, samples=args.samples)
+    ok = out["steady_state_gb_s"] >= args.floor
+    out.update({"floor_gb_s": args.floor, "gate": "PASS" if ok else "FAIL"})
+    print(json.dumps(out))
     return 0 if ok else 1
 
 

@@ -458,9 +458,9 @@ def test_compaction_conflict_never_fails_a_committed_apply(spark, tmp_path, monk
 
 def test_narrow_exact_ties_one_row_per_key(spark):
     """(op_ts, lsn) ties with DIFFERING payloads (corrupt input under the
-    WAL contract): the default narrow collapse keeps the tied variants
-    (documented), exact_ties=True picks the same single lexicographic-max
-    winner as the agg strategy."""
+    WAL contract): the strict one-row-per-key collapse is the DEFAULT
+    (round 5) — same single lexicographic-max winner as the agg strategy
+    — and exact_ties=False is the documented opt-out keeping variants."""
     import pyspark.sql.types as T
 
     from etl_spark.cdc.dedup import lww_dedup_narrow
@@ -478,9 +478,9 @@ def test_narrow_exact_ties_one_row_per_key(spark):
     rows = [("c1", 0, "payload-a", ts, 7), ("c1", 0, "payload-b", ts, 7),
             ("c2", 1, "solo", ts, 8)]
     changes = spark.createDataFrame(rows, schema)
-    default = lww_dedup_narrow(changes).toPandas()
-    assert len(default) == 3  # tied variants both survive (documented)
-    exact = lww_dedup_narrow(changes, exact_ties=True)
+    optout = lww_dedup_narrow(changes, exact_ties=False).toPandas()
+    assert len(optout) == 3  # tied variants both survive under the opt-out
+    exact = lww_dedup_narrow(changes)  # strict contract is the default
     agg = lww_dedup(changes)
     assert_pdf_equal(exact.toPandas(), agg.toPandas(), ["conv_id", "turn_idx"])
     assert exact.count() == 2
@@ -516,3 +516,47 @@ def test_empty_batch_fences_epoch_without_crashing(spark, tmp_path):
     st3 = apply_batch(t, df, epoch=2)
     assert st3.winners == 1
     assert [r.conv_id for r in t.snapshot_df().collect()] == ["k"]
+
+def test_private_plan_probe_canary(spark, tmp_path):
+    """Version canary for the PRIVATE ``_jdf.queryExecution()`` probes
+    (round-5 verdict item 3). Both probes degrade SAFELY when the py4j
+    surface moves under a Spark upgrade — auto dispatch falls back to
+    narrow-sh, the empty-batch guard falls back to the runtime path — so
+    nothing else in the suite would fail. This test exists to make the
+    degradation LOUD: if it fails after a Spark bump, re-point
+    apply.plan_size_bytes / apply._statically_empty at the renamed plan
+    surface (see plan_size_bytes' docstring) instead of deleting it."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.apply import (
+        _statically_empty,
+        plan_size_bytes,
+        resolve_dedup_strategy,
+    )
+    from etl_spark.datagen import gen_changes
+
+    p = str(tmp_path / "chg")
+    gen_changes(spark, 2_000, n_convs=20, n_epochs=1).drop("epoch").write.parquet(p)
+    changes = spark.read.parquet(p)
+
+    est = plan_size_bytes(changes)
+    assert est is not None and est > 0, (
+        "plan-size probe returned the fallback on the running Spark "
+        f"({spark.version}) — every auto dispatch is silently degraded "
+        "to narrow-sh; re-point plan_size_bytes at the new plan surface"
+    )
+    # end-to-end: a small file-backed batch must dispatch to the measured
+    # fast path, not the no-estimate fallback
+    assert resolve_dedup_strategy(changes, "auto") == "fused"
+
+    # the static guard targets plans Catalyst FOLDS to an empty
+    # LocalRelation (limit(0) feeds, always-false filters); a plain empty
+    # createDataFrame is a LogicalRDD on this Spark and is deliberately
+    # left to the runtime fallback
+    for folded in (changes.limit(0), changes.where(F.lit(False))):
+        assert _statically_empty(folded) is True, (
+            "empty-plan probe returned the fallback on the running Spark "
+            f"({spark.version}) — provably-empty batches now pay a runtime "
+            "isEmpty() job; re-point _statically_empty at the new plan surface"
+        )
+    assert _statically_empty(changes) is False

@@ -39,18 +39,40 @@ class TestHttpStoreConformance(MetadataStoreConformance):
 
 
 class TestHttpStoreGcsHeaders(MetadataStoreConformance):
-    """Same contract under the GCS precondition spelling
-    (x-goog-if-generation-match: 0)."""
+    """Same contract under the GCS preset constructor — certifies both
+    the x-goog-if-generation-match: 0 spelling and that for_gcs wires
+    auth headers onto every request."""
 
     @pytest.fixture(autouse=True)
     def _bind_server(self, server):
         self._server = server
 
     def make_store(self, tmp_path):
-        return _fresh_store(
-            self._server,
-            precondition_headers={"x-goog-if-generation-match": "0"},
+        from etl_spark.lake.metastore_http import HttpMetadataStore as H
+
+        store = H.for_gcs(
+            f"{self._server.url}/tbl{next(_counter)}/_meta",
+            auth_headers={"Authorization": "Bearer test-token"},
         )
+        assert store.precondition_headers == {"x-goog-if-generation-match": "0"}
+        return store
+
+
+class TestHttpStoreS3Preset(MetadataStoreConformance):
+    """Same contract under the S3 preset constructor (If-None-Match: *
+    conditional-write spelling; SigV4 signing rides outside this client —
+    see HttpMetadataStore.for_s3's docstring)."""
+
+    @pytest.fixture(autouse=True)
+    def _bind_server(self, server):
+        self._server = server
+
+    def make_store(self, tmp_path):
+        from etl_spark.lake.metastore_http import HttpMetadataStore as H
+
+        store = H.for_s3(f"{self._server.url}/tbl{next(_counter)}/_meta")
+        assert store.precondition_headers == {"If-None-Match": "*"}
+        return store
 
 
 def test_lost_response_retry_is_not_a_lost_race(server):

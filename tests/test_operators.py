@@ -1228,3 +1228,32 @@ def test_lsh_band_params_must_divide(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="not divisible"):
         minhash_lsh_pairs(df, num_hashes=18, num_bands=4).collect()
+
+def test_jpeg_constant_gray_exact_all_levels():
+    """The media gate's oracle-computed lossy entry rests on this exact
+    property: a constant-gray image survives quality-95 JPEG bit-exactly
+    for EVERY gray level (the q95 DC quantizer is 2, dividing any
+    8*(c-128); AC coefficients are zero), under both entropy coders and
+    non-mod-8 dimensions. If a codec change breaks this, fix the codec
+    or re-derive media_decode_jpeg_const's oracle — the gate entry is
+    only as strong as this invariant."""
+    import numpy as np
+
+    from etl_spark.operators.multimodal import (
+        _constant_pixels,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for c in range(256):  # every gray level, dims sweep all mod-8 phases
+        px = np.full((3 + c % 13, 4 + c % 29, 3), c, dtype=np.uint8)
+        for enc in (encode_jpeg, encode_jpeg_progressive):
+            d = decode_jpeg(enc(px, 95))
+            assert (d["mean_px"], d["top_row_mean"]) == (float(c), float(c)), (
+                c, enc.__name__, d)
+    # and the planted fixture formula agrees with the oracle's closed form
+    for L in (0, 1, 28, 29, 255, 256, 511, 1000):
+        p = _constant_pixels(L)
+        assert p.shape == (3 + L % 13, 4 + L % 29, 3)
+        assert int(p[0, 0, 0]) == L % 256

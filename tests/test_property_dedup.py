@@ -12,11 +12,10 @@ Contracts pinned (see etl_spark/cdc/dedup.py module docstring):
     strategy (max-struct agg, salted window, pack+join, narrow in both
     join-back modes) returns the SAME winner multiset, equal to a pandas
     argmax oracle;
-  * on corrupt inputs with exact order ties, the tie-RESOLVING strategies
-    (agg's lexicographic max-struct and narrow's ``exact_ties`` collapse)
-    agree with each other and emit exactly one row per key — the
-    documented divergence is only the default narrow keeping tied
-    variants, re-resolved at read time by _lww_fold.
+  * on corrupt inputs with exact order ties, EVERY strategy (round-5
+    default) resolves to the same single lexicographic-max winner per
+    key; the documented opt-out (``exact_ties=False`` on narrow/join)
+    keeps tied variants, re-resolved at read time by _lww_fold.
 
 Examples are deliberately few (each example runs real Spark jobs); the
 value is hypothesis's shrinking search over structure, not volume.
@@ -168,14 +167,26 @@ def test_pack_order_preserves_lexicographic_order(spark, pairs):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(rows=st.lists(_row, max_size=40))
-def test_tie_resolving_strategies_agree_on_corrupt_input(spark, rows):
+def test_all_strategies_resolve_corrupt_ties_identically(spark, rows):
     # NO uniqueness filter: exact (key, op_ts, lsn) ties with differing
     # payloads are in scope — the corrupt-input case the WAL contract
-    # excludes but the engine must still resolve deterministically
+    # excludes but the engine must still resolve deterministically.
+    # Round-5 contract: the strict one-row-per-key lexicographic-max
+    # winner is the DEFAULT of every physical strategy, so delta contents
+    # and winners lineage never depend on the dispatcher's choice.
     changes = _df(spark, rows)
-    agg = lww_dedup(changes).toPandas()
-    exact = lww_dedup_narrow(changes, exact_ties=True).toPandas()
-    assert_pdf_equal(agg, exact, ["conv_id", "turn_idx"])
+    outs = [
+        lww_dedup(changes).toPandas(),
+        lww_dedup_window(changes).toPandas(),
+        lww_dedup_join(changes).toPandas(),
+        lww_dedup_narrow(changes).toPandas(),
+        lww_dedup_narrow(changes, winners_join="shuffle_hash").toPandas(),
+    ]
+    for other in outs[1:]:
+        assert_pdf_equal(outs[0], other, ["conv_id", "turn_idx"])
     n_keys = len({(r[1], r[2]) for r in rows})
-    assert len(agg) == n_keys
-    assert len(exact) == n_keys
+    for o in outs:
+        assert len(o) == n_keys
+    # the documented opt-out keeps every tied variant instead
+    optout = lww_dedup_narrow(changes, exact_ties=False).toPandas()
+    assert len(optout) >= n_keys

@@ -571,3 +571,99 @@ def test_stream_rest_backfill_excludes_future_values_stable_mode(spark, tmp_path
     assert rows["__rest__"] == {("n", "norole")}
     assert rows["user"] == {("a", "u0")}
     assert rows["assistant"] == {("b", "a0")}
+
+def test_consistent_view_survives_torn_fanout(spark, tmp_path):
+    """Round-5 verdict item 5 (option B): a crash mid-fan-out leaves the
+    routed tables one epoch apart until replay resumes. The per-epoch
+    completion marker bounds the reader-visible window to zero — a
+    consumer through consistent_view() always sees EVERY table at the
+    same completed epoch, even while a later epoch is half-applied —
+    and the underlying live skew is itself bounded at one epoch."""
+    import datetime as dt
+    import os
+
+    from etl_spark.cdc.route_epochs import consistent_view, latest_route_epoch
+    from etl_spark.cdc.router import route_replay
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+
+    T = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)
+    log = str(tmp_path / "log")
+    base = str(tmp_path / "routed")
+
+    def _write(i, rows):
+        spark.createDataFrame(rows, schema=CHANGE_SCHEMA).coalesce(1) \
+            .write.parquet(os.path.join(log, f"epoch={i:05d}"))
+
+    _write(0, [("I", "a", 0, "user", "u0", None, T(0), T(1), 1),
+               ("I", "b", 0, "assistant", "a0", None, T(0), T(1), 2)])
+    _write(1, [("U", "a", 0, "user", "u1", None, T(0), T(3), 3),
+               ("U", "b", 0, "assistant", "a1", None, T(0), T(3), 4)])
+
+    # full epoch 0, then a TORN epoch 1: only the 'user' table applies
+    it = route_replay(spark, log, base, route_col="role")
+    next(it)  # epoch 0 complete -> marker written
+    m0 = latest_route_epoch(base, "router")
+    assert m0["epoch"] == 0 and set(m0["tables"]) == {"assistant", "user"}
+
+    from etl_spark.cdc.router import route_batch
+    from etl_spark.lake.table import LakeTable
+
+    user = LakeTable(spark, os.path.join(base, "user"))
+    assistant = LakeTable(spark, os.path.join(base, "assistant"))
+    e1 = spark.read.parquet(os.path.join(log, "epoch=00001"))
+    route_batch({"user": user}, e1, 1, route_col="role")  # crash before 'assistant'
+
+    # LIVE tables are torn (user at epoch 1, assistant at 0)...
+    assert {r.text for r in user.snapshot_df().collect()} == {"u1"}
+    assert {r.text for r in assistant.snapshot_df().collect()} == {"a0"}
+    assert user.committed_epoch("router") - assistant.committed_epoch("router") == 1
+    # ...but the consistent view pins BOTH to completed epoch 0
+    ep, views = consistent_view(spark, base, "router")
+    assert ep == 0
+    assert {r.text for r in views["user"].collect()} == {"u0"}
+    assert {r.text for r in views["assistant"].collect()} == {"a0"}
+
+    # resume: a fresh replay re-runs epoch 1 (user fences, assistant
+    # applies), the marker lands, and the view advances atomically
+    for _ in route_replay(spark, log, base, route_col="role"):
+        pass
+    ep, views = consistent_view(spark, base, "router")
+    assert ep == 1
+    assert {r.text for r in views["user"].collect()} == {"u1"}
+    assert {r.text for r in views["assistant"].collect()} == {"a1"}
+    # re-running the whole replay again is marker-idempotent
+    for _ in route_replay(spark, log, base, route_col="role"):
+        pass
+    assert latest_route_epoch(base, "router")["epoch"] == 1
+
+
+def test_stream_route_writes_epoch_markers(spark, tmp_path):
+    """The streaming fan-out publishes the same per-epoch completion
+    markers under its checkpoint-scoped fencing source."""
+    import datetime as dt
+    import os
+
+    from etl_spark.cdc.engine import CHANGE_SCHEMA, fencing_namespace
+    from etl_spark.cdc.route_epochs import consistent_view
+    from etl_spark.cdc.router import stream_route
+
+    T = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)
+    log = str(tmp_path / "log")
+    base = str(tmp_path / "routed")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [("I", "a", 0, "user", "u0", None, T(0), T(1), 1),
+            ("I", "b", 0, "assistant", "a0", None, T(0), T(1), 2)]
+    spark.createDataFrame(rows, schema=CHANGE_SCHEMA).coalesce(1) \
+        .write.parquet(os.path.join(log, "epoch=00000"))
+
+    q = stream_route(spark, log, base, ckpt, route_col="role", num_buckets=4)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    source = fencing_namespace(ckpt, "router")
+    ep, views = consistent_view(spark, base, source)
+    assert ep == 0
+    assert {r.text for r in views["user"].collect()} == {"u0"}
+    assert {r.text for r in views["assistant"].collect()} == {"a0"}

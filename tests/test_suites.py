@@ -38,7 +38,13 @@ def test_suite_matches_oracle(spark, duck, name):
 
 def test_driver_registry_contract():
     q, o = driver_registry()
-    # fits the observed 50-entry sweep cap, oracles complete
+    # HARD CAP — do not raise: the round driver's correctness sweep runs
+    # at most ~50 registry entries per round. Round 3 shipped 69 entries
+    # and 13 of them were silently never re-checked (only green in an old
+    # round's artifact); the suite folding exists precisely to keep every
+    # fine-grained query covered within the cap. Adding entry #51 would
+    # reintroduce the stale-entry problem — fold new queries into a
+    # UNION-ALL suite instead (SUITE_SPECS).
     assert len(q) <= 50
     assert set(o) == set(q)
     # every fine-grained query is either registered directly or suited
