@@ -121,7 +121,17 @@ def consistent_view(spark, base_path: str, source: str) -> tuple[int, dict]:
     versions. Cross-table consistent by construction: all returned
     DataFrames reflect exactly the change stream up to ``epoch``, even
     while a crashed fan-out has later epochs half-applied. Raises
-    FileNotFoundError when no epoch has completed yet."""
+    FileNotFoundError when no epoch has completed yet.
+
+    Lazily-created destinations: a table first sighted at epoch k joins
+    the markers AT k (already backfilled with epochs 0..k-1, so its
+    pinned state is complete from its first appearance). Markers older
+    than k simply don't list it — a reader pinned to such a marker sees
+    the world as it stood when that epoch completed, which is the
+    consistency contract; read the LATEST marker (what this function
+    does) for the full destination set. Vacuuming table metadata can
+    expire the versions recorded in OLD markers; the newest marker's
+    versions are current by construction."""
     from ..lake.table import LakeTable
 
     marker = latest_route_epoch(base_path, source)

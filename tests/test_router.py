@@ -667,3 +667,18 @@ def test_stream_route_writes_epoch_markers(spark, tmp_path):
     assert ep == 0
     assert {r.text for r in views["user"].collect()} == {"u0"}
     assert {r.text for r in views["assistant"].collect()} == {"a0"}
+
+def test_route_epoch_source_dirname_is_safe_and_collision_free():
+    """Fencing-source strings (checkpoint-lineage suffixed, arbitrary
+    user content) become marker directory names — sanitization must
+    never produce path-escaping components, and two distinct sources
+    must never share a directory after sanitization (the hash suffix)."""
+    from etl_spark.cdc.route_epochs import _source_dirname
+
+    cases = ["router", "router@abc123", "../../evil", "a/b\\c", "",
+             "x" * 200, "router@abc123 ", "röuter-🔥"]
+    names = [_source_dirname(s) for s in cases]
+    for n in names:
+        assert "/" not in n and "\\" not in n and n not in (".", "..")
+        assert len(n) <= 64
+    assert len(set(names)) == len(cases)  # distinct sources, distinct dirs
