@@ -196,6 +196,18 @@ def main(argv: list[str] | None = None) -> int:
     rt.add_argument("--no-rest", action="store_true",
                     help="no rest table: fail loudly on NULL-route non-delete rows")
 
+    rv = sub.add_parser(
+        "route-view",
+        help="cross-table-consistent view of a routed fan-out: pin every "
+        "destination to the newest COMPLETE epoch's marker and report "
+        "per-table row counts (readers never see a torn epoch)",
+    )
+    rv.add_argument("--base", required=True)
+    rv.add_argument("--source", default="router",
+                    help="fencing source (default 'router' = route CLI / "
+                    "route_replay; stream fan-outs use their "
+                    "checkpoint-scoped namespace)")
+
     dw = sub.add_parser(
         "delete-where", help="row-level DELETE by SQL predicate (delta commit, fenced)"
     )
@@ -455,6 +467,16 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(export_snapshot(
             eng.table, args.out, fmt=args.format, ordered=not args.no_sort,
         )))
+        return 0
+
+    if args.cmd == "route-view":
+        from etl_spark.cdc.route_epochs import consistent_view
+
+        epoch, views = consistent_view(spark, args.base, args.source)
+        print(json.dumps({
+            "epoch": epoch,
+            "tables": {name: int(df.count()) for name, df in sorted(views.items())},
+        }))
         return 0
 
     if args.cmd == "route":

@@ -159,10 +159,17 @@ def _safe_route_value(val: str) -> bool:
     empty string must never become a path component (``os.path.join``
     would escape base_path and MERGE-apply routed rows into an unrelated
     table). Unsafe values are not errors: they are simply unroutable and
-    land in the rest table like unknown/NULL values do."""
+    land in the rest table like unknown/NULL values do.
+
+    ``route_epochs.ROUTER_EPOCHS_DIR`` is a RESERVED name: the epoch
+    markers live in that directory under base_path, so a route value
+    spelled exactly like it would drop a LakeTable onto the marker tree.
+    Reserved like unsafe — diverted to the rest table."""
+    from .route_epochs import ROUTER_EPOCHS_DIR
+
     return (
         bool(val)
-        and val not in (".", "..")
+        and val not in (".", "..", ROUTER_EPOCHS_DIR)
         and "/" not in val
         and "\\" not in val
         and "\x00" not in val

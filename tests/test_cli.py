@@ -51,3 +51,29 @@ def test_replay_cli_mandatory_lag_breach_exit_code(spark, tmp_path, capsys):
     lines = _json_lines(capsys.readouterr().out)
     assert rc == 0
     assert [d["epoch"] for d in lines if "epoch" in d] == [0, 1]
+
+def test_route_view_cli_pins_to_complete_epoch(spark, tmp_path, capsys):
+    """`route-view` exposes route_epochs.consistent_view at the CLI: one
+    JSON line with the newest COMPLETE epoch and per-table counts. After
+    a full route run it reflects the final epoch; the torn-fan-out
+    guarantee itself is pinned in tests/test_router.py."""
+    log = str(tmp_path / "log")
+    assert main(["gen", "--out", log, "--events", "2000",
+                 "--convs", "20", "--epochs", "2"]) == 0
+    capsys.readouterr()
+
+    base = str(tmp_path / "routed")
+    assert main(["route", "--log", log, "--base", base, "--buckets", "2"]) == 0
+    route_lines = _json_lines(capsys.readouterr().out)
+    last_epoch = route_lines[-1]["epoch"]
+
+    assert main(["route-view", "--base", base]) == 0
+    (view,) = _json_lines(capsys.readouterr().out)
+    assert view["epoch"] == last_epoch
+    assert view["tables"] and all(n >= 0 for n in view["tables"].values())
+    # pinned union == spine replay row count
+    from etl_spark.cdc.engine import CdcEngine
+
+    eng = CdcEngine(spark, str(tmp_path / "spine"), num_buckets=2)
+    eng.replay(log)
+    assert sum(view["tables"].values()) == eng.table.snapshot_df().count()

@@ -148,7 +148,7 @@ def test_route_replay_end_to_end(spark, tmp_path):
     from etl_spark.lake.table import LakeTable
 
     union = None
-    for v in sorted(os.listdir(base)):
+    for v in sorted(set(os.listdir(base)) - {"_router_epochs"}):
         df = LakeTable(spark, os.path.join(base, v)).snapshot_df()
         union = df if union is None else union.unionByName(df)
     spine_df = spine.table.snapshot_df()
@@ -178,7 +178,7 @@ def test_stream_route(spark, tmp_path):
     spine = CdcEngine(spark, str(tmp_path / "spine"), num_buckets=4)
     spine.replay(log)
     union = None
-    for v in sorted(os.listdir(str(tmp_path / "routed"))):
+    for v in sorted(set(os.listdir(str(tmp_path / "routed"))) - {"_router_epochs"}):
         df = LakeTable(spark, str(tmp_path / "routed" / v)).snapshot_df()
         union = df if union is None else union.unionByName(df)
     spine_df = spine.table.snapshot_df()
@@ -213,7 +213,7 @@ def test_route_replay_null_route_rows_land_in_rest(spark, tmp_path):
 
     base = str(tmp_path / "routed")
     list(route_replay(spark, log, base, route_col="role", num_buckets=4))
-    names = sorted(os.listdir(base))
+    names = sorted(set(os.listdir(base)) - {"_router_epochs"})
     assert "__rest__" in names
     rest = LakeTable(spark, os.path.join(base, "__rest__")).snapshot_df()
     assert rest.count() > 0
@@ -320,7 +320,7 @@ def test_route_replay_path_unsafe_values_land_in_rest(spark, tmp_path):
 
     # nothing escaped base_path: tmp_path holds exactly log, spine, routed
     assert sorted(os.listdir(tmp_path)) == ["log", "routed", "spine"]
-    names = sorted(os.listdir(base))
+    names = sorted(set(os.listdir(base)) - {"_router_epochs"})
     assert "__rest__" in names
     assert all("/" not in n and n not in (".", "..") for n in names)
 
@@ -375,7 +375,7 @@ def test_late_loser_after_lazy_table_creation_batch(spark, tmp_path):
 
     rows = {
         v: LakeTable(spark, os.path.join(base, v)).snapshot_df().collect()
-        for v in sorted(os.listdir(base))
+        for v in sorted(set(os.listdir(base)) - {"_router_epochs"})
     }
     assert [(r.conv_id, r.turn_idx, r.text) for r in rows["assistant"]] == \
         [("a", 0, "win")]
@@ -414,7 +414,7 @@ def test_late_loser_after_lazy_table_creation_stream(spark, tmp_path):
     base = str(tmp_path / "routed")
     rows = {
         v: LakeTable(spark, os.path.join(base, v)).snapshot_df().collect()
-        for v in sorted(os.listdir(base))
+        for v in sorted(set(os.listdir(base)) - {"_router_epochs"})
     }
     assert [(r.conv_id, r.turn_idx, r.text) for r in rows["assistant"]] == \
         [("a", 0, "win")]
@@ -566,7 +566,7 @@ def test_stream_rest_backfill_excludes_future_values_stable_mode(spark, tmp_path
     rows = {
         v: {(r.conv_id, r.text)
             for r in LakeTable(spark, os.path.join(base, v)).snapshot_df().collect()}
-        for v in sorted(os.listdir(base))
+        for v in sorted(set(os.listdir(base)) - {"_router_epochs"})
     }
     assert rows["__rest__"] == {("n", "norole")}
     assert rows["user"] == {("a", "u0")}
@@ -682,3 +682,34 @@ def test_route_epoch_source_dirname_is_safe_and_collision_free():
         assert "/" not in n and "\\" not in n and n not in (".", "..")
         assert len(n) <= 64
     assert len(set(names)) == len(cases)  # distinct sources, distinct dirs
+
+def test_reserved_marker_name_route_value_lands_in_rest(spark, tmp_path):
+    """A route VALUE spelled exactly like the epoch-marker directory
+    (route_epochs.ROUTER_EPOCHS_DIR) must not become a table path — it
+    would drop a LakeTable onto the marker tree. Reserved names divert
+    to the rest table exactly like path-unsafe values."""
+    import datetime as dt
+    import os
+
+    from etl_spark.cdc.engine import CHANGE_SCHEMA
+    from etl_spark.cdc.route_epochs import ROUTER_EPOCHS_DIR
+    from etl_spark.cdc.router import route_replay
+    from etl_spark.lake.table import LakeTable
+
+    T = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)
+    log = str(tmp_path / "log")
+    base = str(tmp_path / "routed")
+    rows = [("I", "a", 0, ROUTER_EPOCHS_DIR, "evil", None, T(0), T(1), 1),
+            ("I", "b", 0, "user", "ok", None, T(0), T(1), 2)]
+    spark.createDataFrame(rows, schema=CHANGE_SCHEMA).coalesce(1) \
+        .write.parquet(os.path.join(log, "epoch=00000"))
+
+    list(route_replay(spark, log, base, route_col="role"))
+    # no table was created at the marker path; the row went to rest
+    assert not os.path.isdir(os.path.join(base, ROUTER_EPOCHS_DIR, "_meta"))
+    rest = LakeTable(spark, os.path.join(base, "__rest__"))
+    assert {(r.conv_id, r.text) for r in rest.snapshot_df().collect()} == \
+        {("a", "evil")}
+    user = LakeTable(spark, os.path.join(base, "user"))
+    assert {(r.conv_id, r.text) for r in user.snapshot_df().collect()} == \
+        {("b", "ok")}
